@@ -1,0 +1,183 @@
+"""Parity tests: Fossen dynamics + RKF45 vs reference AUVSim/BlueROV2/LAUV."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from gym_dockauv_tpu.dynamics.statespace import (
+    fossen_state_dot,
+    fossen_vehicle_step,
+    unnormalize_input,
+)
+from gym_dockauv_tpu.dynamics.vehicles import build_bluerov2, build_lauv
+from gym_dockauv_tpu.ops.integrators import rkf45_step
+from .reference_oracle import load_reference
+
+load_reference()
+from gym_dockauv.objects.vehicles.BlueROV2 import BlueROV2 as RefBlueROV2  # noqa: E402
+from gym_dockauv.objects.vehicles.LAUV import LAUV as RefLAUV  # noqa: E402
+from gym_dockauv.utils.odesolver45 import odesolver45 as ref_ode45  # noqa: E402
+
+
+def _params64(builder):
+    return builder(dtype=jnp.float64)
+
+
+def test_matrix_assembly_parity_bluerov2():
+    ref = RefBlueROV2()
+    p = _params64(build_bluerov2)
+    np.testing.assert_allclose(np.asarray(p.m_inv), ref.M_inv, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p.i_b), ref.I_b, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p.b0), ref.B(None), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(p.u_bound), ref.u_bound, atol=1e-12)
+
+
+def test_cd_g_parity_bluerov2():
+    from gym_dockauv_tpu.dynamics.statespace import coriolis, damping, restoring
+
+    ref = RefBlueROV2()
+    p = _params64(build_bluerov2)
+    rng = np.random.default_rng(3)
+    for _ in range(10):
+        nu_r = rng.normal(size=6)
+        eta = rng.normal(size=6) * 0.5
+        np.testing.assert_allclose(
+            np.asarray(coriolis(p, jnp.asarray(nu_r))), ref.C(nu_r), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(damping(p, jnp.asarray(nu_r))), ref.D(nu_r), atol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(restoring(p, jnp.asarray(eta))), ref.G(eta), atol=1e-12
+        )
+
+
+def test_state_dot_parity_bluerov2():
+    ref = RefBlueROV2()
+    p = _params64(build_bluerov2)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        state = rng.normal(size=12) * 0.8
+        u = rng.uniform(-1, 1, 6)
+        nu_c = np.concatenate([rng.normal(size=3) * 0.3, np.zeros(3)])
+        ref.u = u
+        got = np.asarray(
+            fossen_state_dot(p, jnp.asarray(state), jnp.asarray(u), jnp.asarray(nu_c))
+        )
+        want = ref.state_dot(0, state, nu_c)
+        np.testing.assert_allclose(got, want, atol=1e-10)
+
+
+def test_unnormalize_parity():
+    ref = RefBlueROV2()
+    ref.set_u_bound(np.array([[-2.0, 5.0], [0.0, 3.0], [-1.0, 1.0], [-4, 4], [-1, 2], [0, 1]]))
+    import gym_dockauv_tpu.dynamics.statespace as ss
+
+    p = _params64(build_bluerov2)
+    p = p.replace(u_bound=jnp.asarray(ref._u_bound, dtype=jnp.float64))
+    a = np.array([-2.0, -0.5, 0.0, 0.5, 1.0, 2.0])
+    np.testing.assert_allclose(
+        np.asarray(unnormalize_input(p, jnp.asarray(a))),
+        ref.unnormalize_input(a),
+        atol=1e-12,
+    )
+
+
+def test_rkf45_parity_with_reference_solver():
+    """Same tableau, same op-ordering: bit-comparable in float64."""
+
+    def rhs_np(t, y):
+        return np.sin(y) - 0.1 * y
+
+    def rhs_jx(y):
+        return jnp.sin(y) - 0.1 * y
+
+    y = np.linspace(-1, 1, 12)
+    w_ref, q_ref = ref_ode45(rhs_np, 0, y, 0.1)
+    w, q = rkf45_step(rhs_jx, jnp.asarray(y), 0.1)
+    np.testing.assert_allclose(np.asarray(w), w_ref, atol=1e-15)
+    np.testing.assert_allclose(np.asarray(q), q_ref, atol=1e-15)
+
+
+def _run_ref_trajectory(ref, actions, nu_c, dt):
+    ref.step_size = dt
+    states = []
+    for a in actions:
+        ref.step(a, nu_c)
+        states.append(ref.state.copy())
+    return np.stack(states)
+
+
+def test_trajectory_parity_bluerov2():
+    """100-step closed-loop trajectory equality (reference test pattern:
+    tests/objects/test_BlueROV2.py:150-188)."""
+    dt = 0.1
+    ref = RefBlueROV2()
+    rng = np.random.default_rng(42)
+    actions = rng.uniform(-1, 1, size=(100, 6))
+    nu_c = np.zeros(6)
+    want = _run_ref_trajectory(ref, actions, nu_c, dt)
+
+    p = _params64(build_bluerov2)
+    state = jnp.zeros(12, dtype=jnp.float64)
+    u = jnp.zeros(6, dtype=jnp.float64)
+
+    @jax.jit
+    def step(state, u, action):
+        return fossen_vehicle_step(p, state, u, action, jnp.zeros(6, dtype=jnp.float64), dt)
+
+    got = []
+    for a in actions:
+        state, u, _ = step(state, u, jnp.asarray(a))
+        got.append(np.asarray(state))
+    np.testing.assert_allclose(np.stack(got), want, atol=1e-9)
+
+
+def test_trajectory_parity_lauv():
+    dt = 0.1
+    ref = RefLAUV()
+    rng = np.random.default_rng(43)
+    # Small thrust / fin commands: the LAUV model (in the reference too) goes
+    # unstable under full-scale random inputs, so keep the oracle finite.
+    actions = rng.uniform(-1, -0.6, size=(50, 3))
+    nu_c = np.concatenate([rng.normal(size=3) * 0.05, np.zeros(3)])
+    want = _run_ref_trajectory(ref, actions, nu_c, dt)
+    # The LAUV model (as parameterized in the reference) is numerically
+    # unstable and eventually overflows; compare on the finite prefix only.
+    finite = np.all(np.isfinite(want), axis=1)
+    n_ok = int(np.argmin(finite)) if not finite.all() else len(want)
+    assert n_ok >= 10, "need a usable finite prefix from the reference"
+    want = want[: n_ok - 1]  # drop last row too (may be half-exploded)
+    actions = actions[: n_ok - 1]
+
+    p = _params64(build_lauv)
+    state = jnp.zeros(12, dtype=jnp.float64)
+    u = jnp.zeros(3, dtype=jnp.float64)
+    nc = jnp.asarray(nu_c)
+
+    @jax.jit
+    def step(state, u, action):
+        return fossen_vehicle_step(p, state, u, action, nc, dt)
+
+    got = []
+    for a in actions:
+        state, u, _ = step(state, u, jnp.asarray(a))
+        got.append(np.asarray(state))
+    np.testing.assert_allclose(np.stack(got), want, atol=1e-9)
+
+
+def test_vmap_consistency():
+    """vmapped batch step equals per-env loop."""
+    p = build_bluerov2(dtype=jnp.float64)
+    rng = np.random.default_rng(9)
+    n = 16
+    states = jnp.asarray(rng.normal(size=(n, 12)) * 0.5)
+    us = jnp.asarray(rng.uniform(-1, 1, size=(n, 6)))
+    actions = jnp.asarray(rng.uniform(-1, 1, size=(n, 6)))
+    nu_c = jnp.asarray(np.concatenate([rng.normal(size=(n, 3)) * 0.2, np.zeros((n, 3))], axis=1))
+
+    batched = jax.vmap(lambda s, u, a, c: fossen_vehicle_step(p, s, u, a, c, 0.1))
+    bs, bu, bd = batched(states, us, actions, nu_c)
+    for i in range(n):
+        s, u, d = fossen_vehicle_step(p, states[i], us[i], actions[i], nu_c[i], 0.1)
+        np.testing.assert_allclose(np.asarray(bs[i]), np.asarray(s), atol=1e-12)
+        np.testing.assert_allclose(np.asarray(bd[i]), np.asarray(d), atol=1e-12)
