@@ -1,0 +1,166 @@
+"""Typed environment configuration.
+
+The reference configures envs through nested Python dicts deep-copied from
+BASE_CONFIG (gym_dockauv/config/env_config.py:28-164).  Here the same knob
+set is a frozen dataclass tree: hashable (usable as a static jit argument),
+validated at construction, and with `replace`-style overrides instead of
+dict mutation.  Factory functions mirror the reference's named config dicts.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class RadarConfig:
+    """Radar knobs (env_config.py:91-98)."""
+
+    freq: float = 1.0
+    alpha: float = 60 * np.pi / 180
+    beta: float = 80 * np.pi / 180
+    ray_per_deg: float = 10 * np.pi / 180
+    max_dist: float = 10.0
+    blocksize_reduce: int = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class RewardFactors:
+    """Reward weights (env_config.py:65-86; remus overrides :124-147)."""
+
+    w_d: float = 1.1
+    w_delta_psi: float = 0.5
+    w_delta_theta: float = 0.3
+    w_phi: float = 0.3
+    w_theta: float = 0.3
+    w_thetadot: float = 0.2
+    w_t: float = 0.05  # present in the reference config but unused in reward
+    w_oa: float = 0.20
+    w_goal: float = 400.0
+    w_deltad_max: float = -200.0
+    w_theta_max: float = -200.0
+    w_t_max: float = -100.0
+    w_col: float = -300.0
+    w_velocity: float = 0.0  # REMUS planar-velocity bonus (remus cfg: 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Full environment configuration (BASE_CONFIG, env_config.py:28-99)."""
+
+    config_name: str = "DEFAULT_BASE_CONFIG"
+    title: str = "DEFAULT"
+    log_level: int = 30
+    verbose: int = 1
+
+    max_timesteps: int = 1000
+    t_step_size: float = 0.10
+    interval_datastorage: int = 100
+    interval_episode_log: int = 50
+    save_path_folder: str = "logs"
+
+    max_dist_from_goal: float = 20.0
+    max_attitude: float = 60 / 180 * np.pi
+    dist_goal_reached_tol: float = 0.5
+    velocity_goal_reached_tol: float = 0.3
+    ang_rate_goal_reached_tol: float = 20 * np.pi / 180
+    attitude_goal_reached_tol: float = 20 * np.pi / 180
+
+    vehicle: str = "BlueROV2"
+    u_max: float = 2.0
+    v_max: float = 1.5
+    w_max: float = 1.5
+    p_max: float = 90 * np.pi / 180
+    q_max: float = 90 * np.pi / 180
+    r_max: float = 120 * np.pi / 180
+    radius: float = 0.5  # config knob; NOTE the reference never applies it —
+    # collision uses AUVSim.safety_radius == 1 (auvsim.py:43), replicated here
+    safety_radius: float = 1.0
+    reward_set: int = 1
+    reward_factors: RewardFactors = dataclasses.field(default_factory=RewardFactors)
+    action_reward_factors: float = 6.0
+    radar: RadarConfig = dataclasses.field(default_factory=RadarConfig)
+
+    # Obstacle schema capacity (padded/masked; one compiled program for all
+    # scenarios).  5 covers the densest reference scenario (center capsule +
+    # ring of 4, docking3d.py:923-958).
+    max_capsules: int = 5
+    max_spheres: int = 1
+
+    index: int | None = None  # per-worker index (docking3d_remus.py:52-56)
+
+    def replace(self, **kwargs) -> "EnvConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def BASE_CONFIG() -> EnvConfig:
+    return EnvConfig()
+
+
+def TRAIN_CONFIG() -> EnvConfig:
+    return EnvConfig(
+        title="Training Run", save_path_folder=os.path.join(os.getcwd(), "logs")
+    )
+
+
+def TRAIN_CONFIG_REMUS() -> EnvConfig:
+    """TRAIN_CONFIG_remus (env_config.py:107-147): zeroed heading/pitch/rate
+    terms, attitude-out penalty disabled, +w_velocity bonus."""
+    return EnvConfig(
+        title="Training Run",
+        save_path_folder=os.path.join(os.getcwd(), "logs"),
+        vehicle="remus100",
+        reward_factors=RewardFactors(
+            w_d=1.1,
+            w_delta_psi=0.0,
+            w_delta_theta=0.0,
+            w_phi=0.3,
+            w_theta=0.0,
+            w_thetadot=0.0,
+            w_oa=0.20,
+            w_goal=400.0,
+            w_deltad_max=-200.0,
+            w_theta_max=-0.0,
+            w_t_max=-100.0,
+            w_col=-300.0,
+            w_velocity=1.0,
+        ),
+    )
+
+
+def PREDICT_CONFIG() -> EnvConfig:
+    return EnvConfig(
+        title="Prediction Run",
+        save_path_folder=os.path.join(os.getcwd(), "predict_logs"),
+        interval_datastorage=1,
+        interval_episode_log=1,
+    )
+
+
+def MANUAL_CONFIG() -> EnvConfig:
+    return EnvConfig(
+        title="Manual Run",
+        save_path_folder=os.path.join(os.getcwd(), "manual_logs"),
+        interval_datastorage=1,
+        interval_episode_log=1,
+    )
+
+
+# Scenario registry: env id -> (family, scenario kind), mirroring
+# REGISTRATION_DICT (env_config.py:9-25).
+_KINDS = (
+    "Simple",
+    "SimpleCurrent",
+    "Capsule",
+    "CapsuleCurrent",
+    "Obstacles",
+    "ObstaclesCurrent",
+    "ObstaclesNoCap",
+)
+REGISTRATION_DICT: dict = {}
+for _k in _KINDS:
+    REGISTRATION_DICT[f"{_k}Docking3d-v0"] = ("bluerov", _k)
+    REGISTRATION_DICT[f"{_k}Docking3d_remus-v0"] = ("remus", _k)

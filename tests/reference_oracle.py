@@ -84,6 +84,36 @@ def _install_skimage_stub():
     sys.modules["skimage.measure"] = measure
 
 
+def _install_grid_current_stub():
+    """The reference's genenate_current.py unpickles current.pkl at import
+    time; the pickle is not shipped.  Provide the generator's math in closed
+    form (validated against genenate_current.py:38-55 semantics in
+    tests/test_world.py) so reference env modules that import it still run.
+    """
+    name = "gym_dockauv.objects.genenate_current"
+    if name in sys.modules:
+        return
+    n = 200
+    lon = np.linspace(-20.0, 20.0, n)
+    val = np.linspace(-10.0, 10.0, n)
+
+    def generate_current(input_y, input_x, input_z, t):
+        ind_x = int(np.sum(input_x >= lon) - 1)
+        ind_y = int(np.sum(input_y >= lon) - 1)
+        ind_z = int(np.sum(input_z >= lon) - 1)
+        i, j, k = ind_x % n, ind_y % n, ind_z % n
+        xv, yv = val[j], val[i]
+        distance = abs(yv - 0.25 * (xv + 4) * (xv - 4))
+        direction = np.array([1.0, xv])
+        direction = direction / np.linalg.norm(direction)
+        magnitude = min((0.5 + k / n) * np.exp(-distance) + 0.3, 1.0)
+        return np.array([magnitude * direction[0], magnitude * direction[1], 0.0])
+
+    mod = types.ModuleType(name)
+    mod.generate_current = generate_current
+    sys.modules[name] = mod
+
+
 def load_reference():
     """Put /root/reference on sys.path with stubs installed; idempotent."""
     global _loaded
@@ -93,6 +123,7 @@ def load_reference():
     _install_skimage_stub()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
+    _install_grid_current_stub()
     # tqdm is only needed by the vendored SB3; not required for object layer.
     _loaded = True
     return

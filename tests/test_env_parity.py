@@ -1,0 +1,191 @@
+"""Step-level parity: our functional env vs the actual reference env.
+
+Strategy per SURVEY.md section 7: the reference consumes the global numpy RNG
+during scenario generation, so instead of reproducing its RNG stream we let
+the reference reset itself, read the sampled scenario back out of its
+attributes, inject it into an EnvState, then drive both envs with identical
+action sequences and compare observation / reward / done / delta_d at every
+step.
+"""
+import copy
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import gym_dockauv_tpu as gdt
+from gym_dockauv_tpu.envs.core import DockingEnv
+from gym_dockauv_tpu.envs.scenarios import Scenario
+from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG, TRAIN_CONFIG_REMUS
+from .reference_oracle import load_reference
+
+load_reference()
+
+import gym_dockauv.envs.docking3d as ref_dock  # noqa: E402
+import gym_dockauv.envs.docking3d_remus as ref_dock_remus  # noqa: E402
+from gym_dockauv.config.env_config import BASE_CONFIG as REF_BASE  # noqa: E402
+
+
+def _ref_env(cls, tmp_path):
+    cfg = copy.deepcopy(REF_BASE)
+    cfg["save_path_folder"] = str(tmp_path)
+    cfg["verbose"] = 0
+    cfg["interval_datastorage"] = 10**9  # episode 1 still records in-memory
+    return cls(cfg)
+
+
+def _scenario_from_ref(env: DockingEnv, ref) -> Scenario:
+    """Read the reference env's sampled scenario back into our schema."""
+    K, S = env.config.max_capsules, env.config.max_spheres
+    cap_a = np.zeros((K, 3))
+    cap_b = np.zeros((K, 3))
+    cap_r = np.ones(K)
+    cap_valid = np.zeros(K, bool)
+    for i, cap in enumerate(ref.capsules):
+        cap_a[i] = cap.vec_bot
+        cap_b[i] = cap.vec_top
+        cap_r[i] = cap.radius
+        cap_valid[i] = True
+    dt = env.dtype
+    j = lambda x: jnp.asarray(np.asarray(x), dtype=dt)
+    return Scenario(
+        goal=j(ref.goal_location),
+        heading_goal=j(ref.heading_goal_reached),
+        spawn_pos=j(ref.auv.position),
+        spawn_att=j(ref.auv.attitude),
+        v_c_init=j(ref.current.V_c),
+        cur_v_min=j(ref.current.V_min),
+        cur_v_max=j(ref.current.V_max),
+        cur_alpha=j(ref.current.alpha),
+        cur_beta=j(ref.current.beta),
+        cap_a=j(cap_a),
+        cap_b=j(cap_b),
+        cap_r=j(cap_r),
+        cap_valid=jnp.asarray(cap_valid),
+        sph_c=jnp.zeros((S, 3), dt),
+        sph_r=jnp.ones((S,), dt),
+        sph_valid=jnp.zeros((S,), bool),
+    )
+
+
+def _drive_parity(ref, env: DockingEnv, n_steps, action_fn, obs_atol, rtol_note=""):
+    scen = _scenario_from_ref(env, ref)
+    state = env._state_from_scenario(scen, jax.random.PRNGKey(0), episode=1)
+    step = jax.jit(env.step)
+    rng = np.random.default_rng(123)
+    for t in range(n_steps):
+        a = action_fn(rng)
+        obs_r, rew_r, done_r, info_r = ref.step(a.copy())
+        state, res = step(state, jnp.asarray(a))
+        np.testing.assert_allclose(
+            np.asarray(res.obs), obs_r, atol=obs_atol,
+            err_msg=f"obs mismatch t={t} {rtol_note}",
+        )
+        np.testing.assert_allclose(
+            float(res.reward), rew_r, rtol=1e-7, atol=1e-8, err_msg=f"reward t={t}"
+        )
+        assert bool(res.done) == bool(done_r), f"done t={t}"
+        np.testing.assert_allclose(
+            float(res.info.delta_d), info_r["delta_d"], rtol=1e-7, atol=1e-9
+        )
+        assert [i for i in range(5) if np.asarray(res.info.conditions)[i]] == info_r["conditions_true"]
+        if done_r:
+            break
+
+
+BLUEROV_CASES = [
+    (ref_dock.SimpleDocking3d, "Simple"),
+    (ref_dock.SimpleCurrentDocking3d, "SimpleCurrent"),
+    (ref_dock.CapsuleDocking3d, "Capsule"),
+    (ref_dock.CapsuleCurrentDocking3d, "CapsuleCurrent"),
+    (ref_dock.ObstaclesDocking3d, "Obstacles"),
+    (ref_dock.ObstaclesCurrentDocking3d, "ObstaclesCurrent"),
+    (ref_dock.ObstaclesNoCapDocking3d, "ObstaclesNoCap"),
+]
+
+
+@pytest.mark.parametrize("ref_cls,kind", BLUEROV_CASES, ids=[k for _, k in BLUEROV_CASES])
+def test_bluerov_env_step_parity(ref_cls, kind, tmp_path):
+    ref = _ref_env(ref_cls, tmp_path)
+    ref.reset(seed=42)
+    env = DockingEnv(TRAIN_CONFIG(), family="bluerov", kind=kind, dtype=jnp.float64)
+    # reference obs is float32-cast; compare at f32 resolution
+    _drive_parity(
+        ref, env, 120,
+        lambda rng: rng.uniform(-1, 1, 6),
+        obs_atol=2e-6,
+    )
+
+
+REMUS_CASES = [
+    (ref_dock_remus.SimpleDocking3d_remus, "Simple"),
+    (ref_dock_remus.SimpleCurrentDocking3d_remus, "SimpleCurrent"),
+    (ref_dock_remus.CapsuleDocking3d_remus, "Capsule"),
+    (ref_dock_remus.CapsuleCurrentDocking3d_remus, "CapsuleCurrent"),
+    (ref_dock_remus.ObstaclesDocking3d_remus, "Obstacles"),
+    (ref_dock_remus.ObstaclesCurrentDocking3d_remus, "ObstaclesCurrent"),
+    (ref_dock_remus.ObstaclesNoCapDocking3d_remus, "ObstaclesNoCap"),
+]
+
+
+def _remus_ref_env(cls, tmp_path):
+    cfg = copy.deepcopy(REF_BASE)
+    cfg["save_path_folder"] = str(tmp_path)
+    cfg["verbose"] = 0
+    cfg["interval_datastorage"] = 10**9
+    cfg["vehicle"] = "remus100"
+    import gym_dockauv.config.env_config as ref_cfg_mod
+
+    cfg["reward_factors"] = copy.deepcopy(ref_cfg_mod.TRAIN_CONFIG_remus["reward_factors"])
+    return cls(cfg)
+
+
+@pytest.mark.parametrize("ref_cls,kind", REMUS_CASES, ids=[k for _, k in REMUS_CASES])
+def test_remus_env_step_parity(ref_cls, kind, tmp_path):
+    ref = _remus_ref_env(ref_cls, tmp_path)
+    ref.reset(seed=7)
+    env = DockingEnv(TRAIN_CONFIG_REMUS(), family="remus", kind=kind, dtype=jnp.float64)
+
+    def action(rng):
+        return np.array(
+            [rng.uniform(-10, 10), rng.uniform(-10, 10), rng.uniform(0, 1500)]
+        )
+
+    _drive_parity(ref, env, 80, action, obs_atol=2e-6)
+
+
+def test_autoreset_and_vec_env():
+    vec = gdt.make_vec("SimpleDocking3d-v0", num_envs=8, seed=3)
+    obs = vec.reset()
+    assert obs.shape == (8, 36) and np.all(obs == 0)
+    saw_done = False
+    rng = np.random.default_rng(0)
+    for _ in range(60):
+        acts = rng.uniform(-1, 1, size=(8, 6))
+        obs, rews, dones, infos = vec.step(acts)
+        assert obs.shape == (8, 36) and rews.shape == (8,)
+        for i, d in enumerate(dones):
+            if d:
+                saw_done = True
+                assert "terminal_observation" in infos[i]
+                assert "episode" in infos[i]
+                # post-reset obs is the reference's zero reset observation
+                assert np.all(obs[i] == 0)
+    # with random actions on a 20m boundary some env usually terminates;
+    # if not, force one by checking t_steps growth instead
+    assert saw_done or int(np.asarray(vec.states.t_steps).max()) == 60
+
+
+def test_episode_counter_increments_on_autoreset():
+    env = DockingEnv(TRAIN_CONFIG(), family="bluerov", kind="Simple", dtype=jnp.float64)
+    state, obs = env.reset(jax.random.PRNGKey(0))
+    assert int(state.episode) == 1
+    # Drive the vehicle out of bounds fast to trigger done
+    state = state.replace(vehicle=state.vehicle.at[0:3].set(jnp.asarray([100.0, 0, 0])))
+    state, res = env.step_autoreset(state, jnp.zeros(6))
+    assert bool(res.done)
+    assert int(state.episode) == 2
+    assert int(state.t_steps) == 0
+    assert np.all(np.asarray(res.obs) == 0)
+    assert np.asarray(res.info.terminal_observation).shape == (36,)
