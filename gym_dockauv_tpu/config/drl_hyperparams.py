@@ -56,6 +56,89 @@ class SACConfig:
         return dataclasses.replace(self, **kw)
 
 
+@dataclasses.dataclass(frozen=True)
+class A2CConfig:
+    """SB3 A2C defaults (a2c/a2c.py:13-120): RMSprop(alpha .99, eps 1e-5),
+    one gradient step over the whole 5-step rollout."""
+
+    learning_rate: float = 7e-4
+    n_steps: int = 5
+    gamma: float = 0.99
+    gae_lambda: float = 1.0
+    ent_coef: float = 0.0
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    normalize_advantage: bool = False
+    seed: Optional[int] = None
+    net_arch: Tuple[int, ...] = (64, 64)
+    log_std_init: float = 0.0
+    tensorboard_log: Optional[str] = None
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class TD3Config:
+    """SB3 TD3 defaults (td3/td3.py:16-120).  train_freq here is always in
+    env steps (the in-graph collect loop has no episode-unit scheduling)."""
+
+    learning_rate: float = 1e-3
+    buffer_size: int = 1_000_000
+    learning_starts: int = 100
+    batch_size: int = 100
+    tau: float = 0.005
+    gamma: float = 0.99
+    train_freq: int = 1
+    gradient_steps: int = 1
+    policy_delay: int = 2
+    target_policy_noise: float = 0.2
+    target_noise_clip: float = 0.5
+    action_noise_std: float = 0.0  # NormalActionNoise sigma (0 = no noise)
+    seed: Optional[int] = None
+    net_arch: Tuple[int, ...] = (400, 300)
+    tensorboard_log: Optional[str] = None
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
+@dataclasses.dataclass(frozen=True)
+class DDPGConfig(TD3Config):
+    """DDPG = TD3 minus the tricks (ddpg/ddpg.py:102-113): no delayed policy,
+    no target smoothing, single critic."""
+
+    policy_delay: int = 1
+    target_policy_noise: float = 0.1
+    target_noise_clip: float = 0.0
+    n_critics: int = 1
+
+
+@dataclasses.dataclass(frozen=True)
+class DQNConfig:
+    """SB3 DQN defaults (dqn/dqn.py:17-140)."""
+
+    learning_rate: float = 1e-4
+    buffer_size: int = 1_000_000
+    learning_starts: int = 50_000
+    batch_size: int = 32
+    tau: float = 1.0
+    gamma: float = 0.99
+    train_freq: int = 4
+    gradient_steps: int = 1
+    target_update_interval: int = 10_000
+    exploration_fraction: float = 0.1
+    exploration_initial_eps: float = 1.0
+    exploration_final_eps: float = 0.05
+    max_grad_norm: float = 10.0
+    seed: Optional[int] = None
+    net_arch: Tuple[int, ...] = (64, 64)
+    tensorboard_log: Optional[str] = None
+
+    def replace(self, **kw):
+        return dataclasses.replace(self, **kw)
+
+
 def PPO_HYPER_PARAMS_DEFAULT() -> PPOConfig:
     return PPOConfig()
 

@@ -1,0 +1,18 @@
+"""TPU-native RL learners.
+
+This package re-creates the capabilities of the reference's vendored
+stable-baselines3 1.5.0 (stable_baselines3/: PPO/SAC/A2C/TD3/DDPG/DQN + HER,
+replay/rollout buffers, vec-env parallelism, Monitor/Logger) as idiomatic
+JAX: policies are flax modules, rollout collection is a `lax.scan` over the
+vmapped on-device env batch, and collection + optimization compile into a
+single XLA program per iteration (Anakin-style) — no process farm, no
+host<->device ping-pong per step.
+"""
+from .ppo import PPO
+from .sac import SAC
+from .a2c import A2C
+from .td3 import TD3
+from .ddpg import DDPG
+from .dqn import DQN
+
+__all__ = ["PPO", "SAC", "A2C", "TD3", "DDPG", "DQN"]

@@ -1,0 +1,225 @@
+"""Algorithm base class.
+
+Covers the role of stable_baselines3/common/base_class.py:56-818 (env
+wiring, seeding, the learn loop skeleton, logging cadence, save/load,
+predict) — but where SB3 alternates host-side env stepping with device-side
+gradient steps, every subclass here exposes one jitted `_iteration` that
+advances the vmapped env batch AND the optimizer in a single XLA program;
+the host loop only orchestrates logging/checkpoint cadence.
+"""
+from __future__ import annotations
+
+import pickle
+import time
+from collections import deque
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..envs.adapter import GymDockingEnv, VecDockingEnv
+from ..envs.core import DockingEnv, make_env
+from .common import EpisodeStats, summarize_episode_stats
+from .logger import Logger, configure_logger, unique_tb_dir
+
+
+def resolve_env(env, n_envs: Optional[int] = None):
+    """Accept env id string / DockingEnv / adapter instances; return
+    (core, n_envs, env_id)."""
+    if isinstance(env, str):
+        return make_env(env), n_envs or 1, env
+    if isinstance(env, DockingEnv):
+        return env, n_envs or 1, None
+    if isinstance(env, VecDockingEnv):
+        return env.core, env.num_envs, env.env_id
+    if isinstance(env, GymDockingEnv):
+        return env.core, n_envs or 1, env.env_id
+    raise TypeError(f"Unsupported env type: {type(env)!r}")
+
+
+class BaseAlgorithm:
+    """Shared scaffolding; subclasses implement `_setup_model`,
+    `_iteration(state, progress_remaining) -> (state, metrics, EpisodeStats)`
+    and `_predict_fn`."""
+
+    def __init__(self, policy: str = "MlpPolicy", env=None, n_envs: Optional[int] = None,
+                 seed: Optional[int] = None, verbose: int = 0,
+                 tensorboard_log: Optional[str] = None, device: str = "auto"):
+        assert policy in ("MlpPolicy",), "only MlpPolicy exists for these envs"
+        self.policy = policy
+        self.core, self.n_envs, self.env_id = resolve_env(env, n_envs)
+        self.verbose = verbose
+        self.tensorboard_log = tensorboard_log
+        self.device = device  # accepted for API parity; JAX picks the backend
+        self.seed = seed
+        self.key = jax.random.PRNGKey(0 if seed is None else seed)
+        if seed is not None:
+            np.random.seed(seed)
+        self.num_timesteps = 0
+        self.ep_info_buffer: deque = deque(maxlen=100)
+        self._logger: Optional[Logger] = None
+        self._state = None  # subclass train-state pytree
+        self._iteration_jit = None
+        self._setup_model()
+
+    # -- subclass hooks ----------------------------------------------------
+    def _setup_model(self) -> None:
+        raise NotImplementedError
+
+    def _iteration(self, state, progress_remaining):
+        raise NotImplementedError
+
+    @property
+    def _steps_per_iteration(self) -> int:
+        raise NotImplementedError
+
+    # -- logger ------------------------------------------------------------
+    @property
+    def logger(self) -> Logger:
+        if self._logger is None:
+            self._logger = configure_logger(None, ("stdout",) if self.verbose else ())
+        return self._logger
+
+    def set_logger(self, logger: Logger) -> None:
+        self._logger = logger
+
+    def _configure_learn_logger(self, tb_log_name: str, reset_num_timesteps: bool):
+        if self.tensorboard_log is not None and self._logger is None:
+            folder = unique_tb_dir(self.tensorboard_log, tb_log_name)
+            fmts = ("stdout", "csv", "tensorboard") if self.verbose else ("csv", "tensorboard")
+            self._logger = configure_logger(folder, fmts, tb_log_name)
+
+    # -- learn loop ----------------------------------------------------------
+    def learn(self, total_timesteps: int, callback=None, log_interval: int = 1,
+              tb_log_name: Optional[str] = None, reset_num_timesteps: bool = True,
+              progress_bar: bool = False):
+        if reset_num_timesteps:
+            self.num_timesteps = 0
+            self.ep_info_buffer.clear()
+        self._configure_learn_logger(tb_log_name or type(self).__name__,
+                                     reset_num_timesteps)
+        target = self.num_timesteps + total_timesteps if not reset_num_timesteps \
+            else total_timesteps
+        if self._iteration_jit is None:
+            self._iteration_jit = jax.jit(self._iteration)
+        start_t = time.perf_counter()
+        start_steps = self.num_timesteps
+        it = 0
+        if callback is not None and hasattr(callback, "init_callback"):
+            callback.init_callback(self)
+        while self.num_timesteps < target:
+            progress_remaining = 1.0 - self.num_timesteps / max(target, 1)
+            self._state, metrics, ep_stats = self._iteration_jit(
+                self._state, jnp.asarray(progress_remaining, jnp.float32))
+            self.num_timesteps += self._steps_per_iteration
+            it += 1
+            self._absorb_episode_stats(ep_stats)
+            if callback is not None:
+                cont = callback.on_step(self) if hasattr(callback, "on_step") else callback(self)
+                if cont is False:
+                    break
+            if log_interval and it % log_interval == 0:
+                self._dump_logs(metrics, start_t, start_steps)
+        return self
+
+    def _absorb_episode_stats(self, ep_stats: EpisodeStats) -> None:
+        s = summarize_episode_stats(ep_stats)
+        if s["episodes"]:
+            dones = np.asarray(ep_stats.dones)
+            rs = np.asarray(ep_stats.returns)[dones]
+            ls = np.asarray(ep_stats.lengths)[dones]
+            gs = np.asarray(ep_stats.goal_reached)[dones]
+            cs = np.asarray(ep_stats.collision)[dones]
+            for r, l, g, c in zip(rs, ls, gs, cs):
+                self.ep_info_buffer.append(
+                    {"r": float(r), "l": int(l), "goal": bool(g), "collision": bool(c)})
+
+    def _dump_logs(self, metrics: Dict[str, Any], start_t: float, start_steps: int):
+        log = self.logger
+        if self.ep_info_buffer:
+            log.record("rollout/ep_rew_mean",
+                       float(np.mean([e["r"] for e in self.ep_info_buffer])))
+            log.record("rollout/ep_len_mean",
+                       float(np.mean([e["l"] for e in self.ep_info_buffer])))
+            log.record("rollout/success_rate",
+                       float(np.mean([e["goal"] for e in self.ep_info_buffer])))
+        elapsed = max(time.perf_counter() - start_t, 1e-8)
+        log.record("time/fps", int((self.num_timesteps - start_steps) / elapsed))
+        log.record("time/total_timesteps", self.num_timesteps)
+        for k, v in metrics.items():
+            log.record(f"train/{k}", float(np.asarray(v)))
+        log.dump(self.num_timesteps)
+
+    # -- inference -----------------------------------------------------------
+    def _predict_fn(self, params, obs, deterministic, key):
+        raise NotImplementedError
+
+    def _inference_params(self):
+        raise NotImplementedError
+
+    def predict(self, observation, state=None, episode_start=None,
+                deterministic: bool = False):
+        """SB3 predict surface (base_class.py:601-648): accepts a single obs
+        or a batch; returns (actions, state)."""
+        obs = np.asarray(observation, np.float32)
+        single = obs.ndim == 1
+        if single:
+            obs = obs[None]
+        self.key, sub = jax.random.split(self.key)
+        if not hasattr(self, "_predict_jit") or self._predict_jit is None:
+            self._predict_jit = jax.jit(self._predict_fn, static_argnums=(2,))
+        act = self._predict_jit(self._inference_params(), jnp.asarray(obs),
+                                bool(deterministic), sub)
+        act = np.asarray(act)
+        return (act[0], state) if single else (act, state)
+
+    # -- persistence -----------------------------------------------------------
+    def _save_payload(self) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def _load_payload(self, payload: Dict[str, Any]) -> None:
+        raise NotImplementedError
+
+    def save(self, path: str) -> None:
+        """Model snapshot (policy/optimizer params + config), SB3 save role
+        (base_class.py:680-759).  Full training state incl. replay buffer and
+        env states goes through utils.checkpoint instead."""
+        if not path.endswith(".zip") and not path.endswith(".pkl"):
+            path = path + ".zip"  # SB3 appends .zip; we keep the convention
+        payload = {
+            "algo": type(self).__name__,
+            "env_id": self.env_id,
+            "n_envs": self.n_envs,
+            "num_timesteps": self.num_timesteps,
+            "seed": self.seed,
+        }
+        payload.update(jax.device_get(self._save_payload()))
+        with open(path, "wb") as f:
+            pickle.dump(payload, f)
+
+    @classmethod
+    def load(cls, path: str, env=None, n_envs: Optional[int] = None, **kwargs):
+        for candidate in (path, path + ".zip", path + ".pkl"):
+            try:
+                with open(candidate, "rb") as f:
+                    payload = pickle.load(f)
+                break
+            except FileNotFoundError:
+                continue
+        else:
+            raise FileNotFoundError(path)
+        if env is None:
+            env = payload["env_id"]
+        model = cls(env=env, n_envs=n_envs or payload.get("n_envs"),
+                    seed=payload.get("seed"), **kwargs)
+        model.num_timesteps = payload.get("num_timesteps", 0)
+        model._load_payload(payload)
+        return model
+
+    def get_env(self):
+        return self.core
+
+    def set_env(self, env, n_envs: Optional[int] = None) -> None:
+        self.core, self.n_envs, self.env_id = resolve_env(env, n_envs or self.n_envs)
+        self._iteration_jit = None

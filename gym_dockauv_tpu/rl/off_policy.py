@@ -1,0 +1,117 @@
+"""Off-policy learner scaffolding.
+
+Covers stable_baselines3/common/off_policy_algorithm.py:25-623: the
+collect->store->train alternation, warmup with uniform random actions before
+`learning_starts`, train_freq/gradient_steps scheduling, and action
+scaling (policy works in [-1,1]; env receives unscaled actions, the buffer
+stores scaled ones, off_policy_algorithm.py:366-420).
+
+TPU shape: one jitted `_iteration` = `lax.scan` of train_freq collect steps
+over the vmapped env batch (replay writes are in-graph `at[].set`) followed
+by `lax.scan` of gradient_steps sampled updates, gated by a traced
+`should_train` mask instead of host branching — so the warmup phase compiles
+into the same program.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from .base import BaseAlgorithm
+from .buffers import replay_add, replay_init, replay_sample
+from .common import EpisodeStats, scale_action, unscale_action
+
+
+class OffPolicyAlgorithm(BaseAlgorithm):
+    """Subclasses define: state pytree with fields
+    (replay, env_states, last_obs, key, num_ts, ...), plus hooks
+    `_explore_action`, `_grad_update`, `_extra_iteration_metrics`."""
+
+    # -- hooks -------------------------------------------------------------
+    def _explore_action(self, state, obs, key):
+        """Policy action in scaled [-1,1] units (training/exploration mode)."""
+        raise NotImplementedError
+
+    def _random_action(self, state, key, shape):
+        """Warmup action, scaled units (uniform, matching space.sample())."""
+        return jax.random.uniform(key, shape, jnp.float32, -1.0, 1.0)
+
+    def _env_action(self, state, scaled):
+        """Scaled -> env units."""
+        return unscale_action(scaled, self._action_low, self._action_high)
+
+    def _grad_update(self, state, batch, should_train, update_index):
+        """One gradient step on a replay batch; returns (state, metrics)."""
+        raise NotImplementedError
+
+    # -- shared pieces -------------------------------------------------------
+    def _init_replay(self, n_act: int | None = None):
+        return replay_init(self.cfg.buffer_size // self.n_envs, self.n_envs,
+                           self.core.n_observations,
+                           n_act if n_act is not None else self.core.n_actions)
+
+    @property
+    def _steps_per_iteration(self) -> int:
+        return self.cfg.train_freq * self.n_envs
+
+    def _collect(self, state, n_steps: int):
+        """n_steps of explore-act -> env step -> replay add."""
+        step_env = jax.vmap(self.core.step_autoreset)
+        learning_starts = self.cfg.learning_starts
+
+        def body(carry, _):
+            st = carry
+            key, k_act, k_rand = jax.random.split(st.key, 3)
+            scaled_policy = self._explore_action(st, st.last_obs, k_act)
+            scaled_rand = self._random_action(
+                st, k_rand, scaled_policy.shape)
+            warmup = st.num_ts < learning_starts
+            scaled = jnp.where(warmup, scaled_rand, scaled_policy)
+            env_action = self._env_action(st, scaled)
+            env_states, res = step_env(st.env_states, env_action)
+            # true next obs: terminal observation when the episode ended
+            # (off_policy_algorithm.py:404-420 terminal_observation handling)
+            next_obs = jnp.where(res.done[:, None],
+                                 res.info.terminal_observation, res.obs)
+            replay = replay_add(st.replay, st.last_obs, next_obs, scaled,
+                                res.reward, res.done.astype(jnp.float32))
+            stats = EpisodeStats(res.done, res.info.cumulative_reward,
+                                 res.info.t_step, res.info.goal_reached,
+                                 res.info.collision)
+            st = st.replace(replay=replay, env_states=env_states,
+                            last_obs=res.obs, key=key,
+                            num_ts=st.num_ts + self.n_envs)
+            return st, stats
+
+        return jax.lax.scan(body, state, None, length=n_steps)
+
+    def _iteration(self, state, progress_remaining):
+        cfg = self.cfg
+        state, stats = self._collect(state, cfg.train_freq)
+        should_train = state.num_ts >= cfg.learning_starts
+
+        def upd(carry, i):
+            st, key = carry
+            key, k_samp, k_upd = jax.random.split(key, 3)
+            batch = replay_sample(st.replay, k_samp, cfg.batch_size)
+            st, metrics = self._grad_update(st, batch, should_train, i, k_upd)
+            return (st, key), metrics
+
+        (state, key), metrics = jax.lax.scan(
+            upd, (state, state.key), jnp.arange(cfg.gradient_steps))
+        state = state.replace(key=key)
+        metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        metrics.update(self._extra_iteration_metrics(state, progress_remaining))
+        return state, metrics, stats
+
+    def _extra_iteration_metrics(self, state, progress_remaining):
+        return {}
+
+    @staticmethod
+    def _masked_apply(should, new_tree, old_tree):
+        """Apply an update only when `should` (warmup gating in-graph)."""
+        return jax.tree_util.tree_map(
+            lambda a, b: jnp.where(should, a, b), new_tree, old_tree)
+
+    def _scale(self, action):
+        return scale_action(action, self._action_low, self._action_high)

@@ -1,0 +1,279 @@
+"""PPO (clipped surrogate) — TPU-native.
+
+Semantics follow the reference's vendored SB3 1.5.0 PPO
+(stable_baselines3/ppo/ppo.py:15-314 and
+common/on_policy_algorithm.py:17-279): n_steps rollout per env with GAE,
+n_epochs of shuffled minibatch updates with ratio clipping, optional value
+clipping, entropy bonus, advantage normalization per minibatch (Bessel-
+corrected std, matching torch), approx-KL early stop at 1.5*target_kl, Adam
+with eps=1e-5 and global-norm clip.
+
+The TPU shape: rollout collection is a `lax.scan` of the vmapped env
+`step_autoreset` + policy forward (no host in the loop), GAE is a reverse
+scan, and the epoch/minibatch sweep is another scan — one compiled program
+per learn iteration.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from ..config.drl_hyperparams import PPOConfig
+from .base import BaseAlgorithm
+from .common import EpisodeStats, as_schedule, explained_variance
+from .distributions import gaussian_entropy, gaussian_log_prob, gaussian_sample
+from .networks import ActorCritic
+
+
+@struct.dataclass
+class OnPolicyState:
+    params: dict
+    opt_state: tuple
+    env_states: object  # batched EnvState
+    last_obs: jnp.ndarray  # (N, O)
+    key: jax.Array
+
+
+class Transition(NamedTuple):
+    obs: jnp.ndarray
+    action: jnp.ndarray  # unclipped sample (SB3 stores pre-clip actions)
+    log_prob: jnp.ndarray
+    value: jnp.ndarray
+    reward: jnp.ndarray
+    done: jnp.ndarray
+
+
+def collect_rollout(core, apply_fn, params, env_states, obs, key, n_steps,
+                    action_low, action_high):
+    """n_steps of (policy forward -> env step_autoreset), batched over envs.
+
+    Returns (env_states, last_obs, key, Transition(T,N,...), EpisodeStats).
+    Mirrors on_policy_algorithm.py:129-217 minus the host round-trips.
+    """
+    step_env = jax.vmap(core.step_autoreset)
+
+    def body(carry, _):
+        env_states, obs, key = carry
+        key, k_act = jax.random.split(key)
+        mean, log_std, value = apply_fn(params, obs)
+        action = gaussian_sample(k_act, mean, log_std)
+        log_prob = gaussian_log_prob(action, mean, log_std)
+        clipped = jnp.clip(action, action_low, action_high)
+        env_states, res = step_env(env_states, clipped)
+        tr = Transition(obs, action, log_prob, value, res.reward, res.done)
+        stats = EpisodeStats(res.done, res.info.cumulative_reward,
+                             res.info.t_step, res.info.goal_reached,
+                             res.info.collision)
+        return (env_states, res.obs, key), (tr, stats)
+
+    (env_states, obs, key), (traj, stats) = jax.lax.scan(
+        body, (env_states, obs, key), None, length=n_steps)
+    return env_states, obs, key, traj, stats
+
+
+def compute_gae(rewards, values, dones, last_values, gamma, gae_lambda):
+    """GAE(lambda) reverse scan (buffers.py compute_returns_and_advantage).
+    dones[t] is the post-step done flag, so next_non_terminal[t] = 1-dones[t]
+    — identical to SB3's episode_starts[t+1] indexing."""
+    next_values = jnp.concatenate([values[1:], last_values[None]], axis=0)
+
+    def body(last_gae, x):
+        r, v, nv, d = x
+        nnt = 1.0 - d
+        delta = r + gamma * nv * nnt - v
+        gae = delta + gamma * gae_lambda * nnt * last_gae
+        return gae, gae
+
+    _, adv_rev = jax.lax.scan(
+        body, jnp.zeros_like(last_values),
+        (rewards[::-1], values[::-1], next_values[::-1],
+         dones[::-1].astype(rewards.dtype)))
+    advantages = adv_rev[::-1]
+    return advantages, advantages + values
+
+
+class PPO(BaseAlgorithm):
+    config_cls = PPOConfig
+
+    def __init__(self, policy: str = "MlpPolicy", env=None,
+                 config: Optional[PPOConfig] = None, n_envs: Optional[int] = None,
+                 seed: Optional[int] = None, verbose: int = 0,
+                 tensorboard_log: Optional[str] = None, device: str = "auto",
+                 **hyper):
+        cfg = config or self.config_cls()
+        if hyper:
+            cfg = cfg.replace(**hyper)
+        if cfg.tensorboard_log and tensorboard_log is None:
+            tensorboard_log = cfg.tensorboard_log
+        self.cfg = cfg
+        if seed is None:
+            seed = cfg.seed
+        super().__init__(policy, env, n_envs=n_envs, seed=seed, verbose=verbose,
+                         tensorboard_log=tensorboard_log, device=device)
+
+    # ------------------------------------------------------------------
+    def _setup_model(self) -> None:
+        cfg = self.cfg
+        core = self.core
+        buffer_size = cfg.n_steps * self.n_envs
+        assert buffer_size % cfg.batch_size == 0, (
+            f"batch_size {cfg.batch_size} must divide n_steps*n_envs {buffer_size}")
+        self.net = ActorCritic(n_actions=core.n_actions,
+                               net_arch=tuple(cfg.net_arch),
+                               log_std_init=cfg.log_std_init)
+        self.key, k_init, k_env = jax.random.split(self.key, 3)
+        params = self.net.init(k_init, jnp.zeros((1, core.n_observations)))
+        self.lr_schedule = as_schedule(cfg.learning_rate)
+        self.clip_schedule = as_schedule(cfg.clip_range)
+
+        @optax.inject_hyperparams
+        def make_tx(learning_rate):
+            return optax.chain(
+                optax.clip_by_global_norm(cfg.max_grad_norm),
+                optax.adam(learning_rate, eps=1e-5),  # ActorCriticPolicy default
+            )
+
+        self.tx = make_tx(learning_rate=self.lr_schedule(jnp.asarray(1.0)))
+        opt_state = self.tx.init(params)
+
+        keys = jax.random.split(k_env, self.n_envs)
+        episodes = jnp.zeros((self.n_envs,), jnp.int32)
+        env_states, obs = jax.jit(jax.vmap(core.reset))(keys, episodes)
+        self._state = OnPolicyState(params, opt_state, env_states, obs, self.key)
+        self._action_low = jnp.asarray(core.action_low, jnp.float32)
+        self._action_high = jnp.asarray(core.action_high, jnp.float32)
+
+    @property
+    def _steps_per_iteration(self) -> int:
+        return self.cfg.n_steps * self.n_envs
+
+    # ------------------------------------------------------------------
+    def _loss(self, params, batch, clip_range):
+        cfg = self.cfg
+        obs, actions, old_log_prob, old_values, advantages, returns = batch
+        mean, log_std, values = self.net.apply(params, obs)
+        log_prob = gaussian_log_prob(actions, mean, log_std)
+        entropy = gaussian_entropy(jnp.broadcast_to(log_std, mean.shape))
+
+        if cfg.normalize_advantage:
+            advantages = (advantages - advantages.mean()) / (
+                advantages.std(ddof=1) + 1e-8)  # torch-unbiased std
+        log_ratio = log_prob - old_log_prob
+        ratio = jnp.exp(log_ratio)
+        pl1 = advantages * ratio
+        pl2 = advantages * jnp.clip(ratio, 1.0 - clip_range, 1.0 + clip_range)
+        policy_loss = -jnp.mean(jnp.minimum(pl1, pl2))
+
+        if cfg.clip_range_vf is None:
+            values_pred = values
+        else:
+            values_pred = old_values + jnp.clip(
+                values - old_values, -cfg.clip_range_vf, cfg.clip_range_vf)
+        value_loss = jnp.mean(jnp.square(returns - values_pred))
+        entropy_loss = -jnp.mean(entropy)
+        loss = policy_loss + cfg.ent_coef * entropy_loss + cfg.vf_coef * value_loss
+
+        approx_kl = jnp.mean(ratio - 1.0 - log_ratio)
+        clip_fraction = jnp.mean((jnp.abs(ratio - 1.0) > clip_range).astype(jnp.float32))
+        aux = {"policy_gradient_loss": policy_loss, "value_loss": value_loss,
+               "entropy_loss": entropy_loss, "approx_kl": approx_kl,
+               "clip_fraction": clip_fraction, "loss": loss}
+        return loss, aux
+
+    def _iteration(self, state: OnPolicyState, progress_remaining):
+        cfg = self.cfg
+        n_envs, T = self.n_envs, cfg.n_steps
+        lr = self.lr_schedule(progress_remaining)
+        clip_range = self.clip_schedule(progress_remaining)
+
+        env_states, last_obs, key, traj, stats = collect_rollout(
+            self.core, self.net.apply, state.params, state.env_states,
+            state.last_obs, state.key, T, self._action_low, self._action_high)
+        last_values = self.net.apply(state.params, last_obs)[2]
+        advantages, returns = compute_gae(
+            traj.reward, traj.value, traj.done, last_values,
+            cfg.gamma, cfg.gae_lambda)
+
+        flat = jax.tree_util.tree_map(
+            lambda x: x.reshape((T * n_envs,) + x.shape[2:]),
+            (traj.obs, traj.action, traj.log_prob, traj.value, advantages, returns))
+        n_batch = T * n_envs
+        n_mb = n_batch // cfg.batch_size
+
+        key, k_perm = jax.random.split(key)
+        perms = jax.vmap(lambda k: jax.random.permutation(k, n_batch))(
+            jax.random.split(k_perm, cfg.n_epochs))
+        mb_idx = perms.reshape(cfg.n_epochs * n_mb, cfg.batch_size)
+
+        opt_state = state.opt_state
+        opt_state = opt_state._replace(
+            hyperparams=dict(opt_state.hyperparams, learning_rate=lr))
+
+        def mb_step(carry, idx):
+            params, opt_state, cont = carry
+            batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
+            (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
+                params, batch, clip_range)
+            if cfg.target_kl is not None:
+                # SB3 breaks BEFORE applying the offending update (ppo.py:252-259)
+                cont = cont & (aux["approx_kl"] <= 1.5 * cfg.target_kl)
+            updates, new_opt = self.tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            use = cont
+            params = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(use, a, b), new_params, params)
+            opt_state = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(use, a, b), new_opt, opt_state)
+            return (params, opt_state, cont), aux
+
+        (params, opt_state, _), auxes = jax.lax.scan(
+            mb_step, (state.params, opt_state, jnp.asarray(True)), mb_idx)
+
+        metrics = {k: jnp.mean(v) for k, v in auxes.items()}
+        metrics["explained_variance"] = explained_variance(
+            flat[3], flat[5])
+        metrics["learning_rate"] = lr
+        metrics["clip_range"] = clip_range
+        metrics["std"] = jnp.mean(jnp.exp(params["params"]["log_std"]))
+
+        new_state = OnPolicyState(params, opt_state, env_states, last_obs, key)
+        return new_state, metrics, stats
+
+    # ------------------------------------------------------------------
+    def _inference_params(self):
+        return self._state.params
+
+    def _predict_fn(self, params, obs, deterministic, key):
+        mean, log_std, _ = self.net.apply(params, obs)
+        action = jnp.where(deterministic, mean,
+                           gaussian_sample(key, mean, log_std))
+        return jnp.clip(action, self._action_low, self._action_high)
+
+    # ------------------------------------------------------------------
+    def _save_payload(self):
+        return {"params": self._state.params,
+                "opt_state": self._state.opt_state,
+                "config": dataclasses.asdict(self.cfg)}
+
+    def _load_payload(self, payload):
+        self.cfg = self.config_cls(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in payload["config"].items()})
+        self._setup_model()
+        self._state = self._state.replace(
+            params=jax.tree_util.tree_map(jnp.asarray, payload["params"]))
+        if payload.get("opt_state") is not None:
+            try:
+                self._state = self._state.replace(
+                    opt_state=jax.tree_util.tree_map(
+                        jnp.asarray, payload["opt_state"],
+                        is_leaf=lambda x: isinstance(x, np.ndarray)))
+            except Exception:
+                pass  # optimizer state shape drift: keep fresh opt state
