@@ -59,9 +59,10 @@ class A2C(PPO):
     def _iteration(self, state: OnPolicyState, progress_remaining):
         cfg = self.cfg
         lr = self.lr_schedule(progress_remaining)
+        work_key, next_key = self._work_keys(state)
         env_states, last_obs, key, traj, stats = collect_rollout(
             self.core, self.net.apply, state.params, state.env_states,
-            state.last_obs, state.key, cfg.n_steps,
+            state.last_obs, work_key, cfg.n_steps,
             self._action_low, self._action_high)
         last_values = self.net.apply(state.params, last_obs)[2]
         advantages, returns = compute_gae(
@@ -92,16 +93,18 @@ class A2C(PPO):
             hyperparams=dict(state.opt_state.hyperparams, learning_rate=lr))
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params)
+        grads = self._pmean(grads)
+        aux = self._pmean(aux)
         updates, opt_state = self.tx.update(grads, opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
 
         metrics = dict(aux)
-        metrics["explained_variance"] = explained_variance(
-            traj.value.reshape(-1), ret)
+        metrics["explained_variance"] = self._pmean(explained_variance(
+            traj.value.reshape(-1), ret))
         metrics["learning_rate"] = lr
         metrics["std"] = jnp.mean(jnp.exp(params["params"]["log_std"]))
-        return OnPolicyState(params, opt_state, env_states, last_obs, key), \
-            metrics, stats
+        return OnPolicyState(params, opt_state, env_states, last_obs,
+                             next_key), metrics, stats
 
     def _save_payload(self):
         return {"params": self._state.params,

@@ -61,6 +61,9 @@ class BaseAlgorithm:
         self._logger: Optional[Logger] = None
         self._state = None  # subclass train-state pytree
         self._iteration_jit = None
+        # Set by parallel.sharded.shard_algorithm: mesh axis for data-parallel
+        # gradient pmean inside the jitted iteration.
+        self.axis_name: Optional[str] = None
         self._setup_model()
 
     # -- subclass hooks ----------------------------------------------------
@@ -216,6 +219,29 @@ class BaseAlgorithm:
         model.num_timesteps = payload.get("num_timesteps", 0)
         model._load_payload(payload)
         return model
+
+    # -- data-parallel helpers (used when axis_name is set) -----------------
+    def _pmean(self, tree):
+        """Cross-device mean (gradients/metrics) when running sharded."""
+        if self.axis_name is None:
+            return tree
+        return jax.lax.pmean(tree, self.axis_name)
+
+    def _work_keys(self, state):
+        """Split the replicated iteration key into a per-device working key
+        (folded with the mesh position) and the next replicated key."""
+        work_key, next_key = jax.random.split(state.key)
+        if self.axis_name is not None:
+            work_key = jax.random.fold_in(
+                work_key, jax.lax.axis_index(self.axis_name))
+        return work_key, next_key
+
+    def _local_batch(self, n_local_envs: int, batch_size: int) -> int:
+        """Per-shard share of a global minibatch size."""
+        scale = max(self.n_envs // max(n_local_envs, 1), 1)
+        assert batch_size % scale == 0, (
+            f"global batch {batch_size} not divisible by {scale} shards")
+        return batch_size // scale
 
     def get_env(self):
         return self.core

@@ -163,6 +163,7 @@ class DQN(OffPolicyAlgorithm):
             return jnp.mean(optax.huber_loss(q_taken, target))  # smooth_l1
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        grads = self._pmean(grads)
         upd, opt_state = self.tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, upd)
         params = self._masked_apply(should_train, params, state.params)

@@ -87,19 +87,21 @@ class OffPolicyAlgorithm(BaseAlgorithm):
 
     def _iteration(self, state, progress_remaining):
         cfg = self.cfg
-        state, stats = self._collect(state, cfg.train_freq)
+        batch_size = self._local_batch(state.last_obs.shape[0], cfg.batch_size)
+        work_key, next_key = self._work_keys(state)
+        state, stats = self._collect(state.replace(key=work_key), cfg.train_freq)
         should_train = state.num_ts >= cfg.learning_starts
 
         def upd(carry, i):
             st, key = carry
             key, k_samp, k_upd = jax.random.split(key, 3)
-            batch = replay_sample(st.replay, k_samp, cfg.batch_size)
+            batch = replay_sample(st.replay, k_samp, batch_size)
             st, metrics = self._grad_update(st, batch, should_train, i, k_upd)
             return (st, key), metrics
 
         (state, key), metrics = jax.lax.scan(
             upd, (state, state.key), jnp.arange(cfg.gradient_steps))
-        state = state.replace(key=key)
+        state = state.replace(key=next_key)
         metrics = {k: jnp.mean(v) for k, v in metrics.items()}
         metrics.update(self._extra_iteration_metrics(state, progress_remaining))
         return state, metrics, stats

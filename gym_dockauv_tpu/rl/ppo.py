@@ -189,13 +189,16 @@ class PPO(BaseAlgorithm):
 
     def _iteration(self, state: OnPolicyState, progress_remaining):
         cfg = self.cfg
-        n_envs, T = self.n_envs, cfg.n_steps
+        # local (per-shard) env count: under shard_map this is n_envs/n_dev
+        n_envs, T = state.last_obs.shape[0], cfg.n_steps
+        batch_size = self._local_batch(n_envs, cfg.batch_size)
         lr = self.lr_schedule(progress_remaining)
         clip_range = self.clip_schedule(progress_remaining)
+        work_key, next_key = self._work_keys(state)
 
         env_states, last_obs, key, traj, stats = collect_rollout(
             self.core, self.net.apply, state.params, state.env_states,
-            state.last_obs, state.key, T, self._action_low, self._action_high)
+            state.last_obs, work_key, T, self._action_low, self._action_high)
         last_values = self.net.apply(state.params, last_obs)[2]
         advantages, returns = compute_gae(
             traj.reward, traj.value, traj.done, last_values,
@@ -205,12 +208,12 @@ class PPO(BaseAlgorithm):
             lambda x: x.reshape((T * n_envs,) + x.shape[2:]),
             (traj.obs, traj.action, traj.log_prob, traj.value, advantages, returns))
         n_batch = T * n_envs
-        n_mb = n_batch // cfg.batch_size
+        n_mb = n_batch // batch_size
 
         key, k_perm = jax.random.split(key)
         perms = jax.vmap(lambda k: jax.random.permutation(k, n_batch))(
             jax.random.split(k_perm, cfg.n_epochs))
-        mb_idx = perms.reshape(cfg.n_epochs * n_mb, cfg.batch_size)
+        mb_idx = perms.reshape(cfg.n_epochs * n_mb, batch_size)
 
         opt_state = state.opt_state
         opt_state = opt_state._replace(
@@ -221,6 +224,10 @@ class PPO(BaseAlgorithm):
             batch = jax.tree_util.tree_map(lambda x: x[idx], flat)
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 params, batch, clip_range)
+            # data-parallel: all-reduce grads/diagnostics over the mesh so
+            # every replica applies the identical update (incl. the KL gate)
+            grads = self._pmean(grads)
+            aux = self._pmean(aux)
             if cfg.target_kl is not None:
                 # SB3 breaks BEFORE applying the offending update (ppo.py:252-259)
                 cont = cont & (aux["approx_kl"] <= 1.5 * cfg.target_kl)
@@ -237,13 +244,14 @@ class PPO(BaseAlgorithm):
             mb_step, (state.params, opt_state, jnp.asarray(True)), mb_idx)
 
         metrics = {k: jnp.mean(v) for k, v in auxes.items()}
-        metrics["explained_variance"] = explained_variance(
-            flat[3], flat[5])
+        metrics["explained_variance"] = self._pmean(
+            explained_variance(flat[3], flat[5]))
         metrics["learning_rate"] = lr
         metrics["clip_range"] = clip_range
         metrics["std"] = jnp.mean(jnp.exp(params["params"]["log_std"]))
 
-        new_state = OnPolicyState(params, opt_state, env_states, last_obs, key)
+        new_state = OnPolicyState(params, opt_state, env_states, last_obs,
+                                  next_key)
         return new_state, metrics, stats
 
     # ------------------------------------------------------------------

@@ -137,6 +137,7 @@ class SAC(OffPolicyAlgorithm):
                     log_prob + self.target_entropy))
 
             ent_loss, g = jax.value_and_grad(ent_loss_fn)(state.log_ent_coef)
+            g = self._pmean(g)
             upd, ent_opt = self.ent_tx.update(g, state.ent_opt)
             new_log_alpha = optax.apply_updates(state.log_ent_coef, upd)
             log_ent_coef = jnp.where(should_train, new_log_alpha,
@@ -162,6 +163,7 @@ class SAC(OffPolicyAlgorithm):
                           + jnp.mean(jnp.square(q2 - target)))
 
         critic_loss, cg = jax.value_and_grad(critic_loss_fn)(state.critic_params)
+        cg = self._pmean(cg)
         cupd, critic_opt = self.critic_tx.update(cg, state.critic_opt)
         critic_params = optax.apply_updates(state.critic_params, cupd)
         critic_params = self._masked_apply(should_train, critic_params,
@@ -177,6 +179,7 @@ class SAC(OffPolicyAlgorithm):
             return jnp.mean(ent_coef * lp - jnp.minimum(q1, q2))
 
         actor_loss, ag = jax.value_and_grad(actor_loss_fn)(state.actor_params)
+        ag = self._pmean(ag)
         aupd, actor_opt = self.actor_tx.update(ag, state.actor_opt)
         actor_params = optax.apply_updates(state.actor_params, aupd)
         actor_params = self._masked_apply(should_train, actor_params,

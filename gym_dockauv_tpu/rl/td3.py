@@ -128,6 +128,7 @@ class TD3(OffPolicyAlgorithm):
             return sum(jnp.mean(jnp.square(q - target)) for q in qs)
 
         critic_loss, cg = jax.value_and_grad(critic_loss_fn)(state.critic_params)
+        cg = self._pmean(cg)
         cupd, critic_opt = self.critic_tx.update(cg, state.critic_opt)
         critic_params = optax.apply_updates(state.critic_params, cupd)
         critic_params = self._masked_apply(should_train, critic_params,
@@ -142,6 +143,7 @@ class TD3(OffPolicyAlgorithm):
             return -jnp.mean(self._q_values(critic_params, obs, a)[0])
 
         actor_loss, ag = jax.value_and_grad(actor_loss_fn)(state.actor_params)
+        ag = self._pmean(ag)
         aupd, actor_opt = self.actor_tx.update(ag, state.actor_opt)
         actor_params = optax.apply_updates(state.actor_params, aupd)
         actor_params = self._masked_apply(do_policy, actor_params,
