@@ -102,6 +102,7 @@ class GymDockingEnv:
         self._state, obs = self._reset_fn(sub, self._episode)
         self._episode = int(self._state.episode)
         info, self.last_info = self.last_info, {}
+        self.last_obs = np.asarray(obs)
         if self.episode_data_storage is not None:
             self.episode_data_storage.on_reset(self)
         if return_info:
@@ -114,6 +115,7 @@ class GymDockingEnv:
         done = bool(res.done)
         info = _info_to_dict(self.core, res.info, done)
         self.last_info = info
+        self.last_obs = np.asarray(res.obs)
         if self.episode_data_storage is not None:
             self.episode_data_storage.on_step(self)
         return np.asarray(res.obs), float(res.reward), done, info

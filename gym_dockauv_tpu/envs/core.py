@@ -459,9 +459,26 @@ class DockingEnv:
             goal_reached=conditions[0],
             delta_d=delta_d,
             reward_arr=reward_arr,
+            cum_reward_arr=new_state.cum_reward_arr,
             terminal_observation=obs,
         )
         return new_state, StepResult(obs=obs, reward=reward, done=done, info=info)
+
+    def radar_snapshot(self, state: EnvState):
+        """(origin (3,), ray end points (R,3)) in NED for the current state —
+        recomputed on demand for rendering/storage (the hot step path never
+        materializes end points; reference keeps them live, sensor.py:104-120)."""
+        eta = state.vehicle[0:6]
+        rd_n = rad.ray_directions_ned(self.fan, eta[3:6])
+        origin = jnp.broadcast_to(eta[0:3], rd_n.shape)
+        d_caps = rays.ray_capsule(origin, rd_n, state.cap_a, state.cap_b,
+                                  state.cap_r, valid=state.cap_valid)
+        d_sph = rays.ray_sphere(origin, rd_n, state.sph_c, state.sph_r,
+                                valid=state.sph_valid)
+        merged = rays.min_positive(
+            jnp.concatenate([d_caps, d_sph], axis=-1), axis=-1)
+        dist = rad.clamp_intersections(self.fan, merged)
+        return eta[0:3], eta[0:3] + rd_n * dist[:, None]
 
     def step_autoreset(self, state: EnvState, action: jnp.ndarray) -> Tuple[EnvState, StepResult]:
         """Step with in-graph auto-reset on done: the returned obs is the

@@ -86,6 +86,7 @@ class StepInfo:
     goal_reached: jnp.ndarray  # () bool
     delta_d: jnp.ndarray  # ()
     reward_arr: jnp.ndarray  # (13,) decomposed reward vector
+    cum_reward_arr: jnp.ndarray  # (13,) episode-cumulative decomposition
     terminal_observation: jnp.ndarray  # (n_obs,) obs at the terminal state
 
 

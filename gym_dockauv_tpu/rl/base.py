@@ -134,9 +134,14 @@ class BaseAlgorithm:
             ls = np.asarray(ep_stats.lengths)[dones]
             gs = np.asarray(ep_stats.goal_reached)[dones]
             cs = np.asarray(ep_stats.collision)[dones]
-            for r, l, g, c in zip(rs, ls, gs, cs):
-                self.ep_info_buffer.append(
-                    {"r": float(r), "l": int(l), "goal": bool(g), "collision": bool(c)})
+            cum = np.asarray(ep_stats.cum_reward_arr)[dones]
+            fds = getattr(self, "full_data_storage", None)
+            for r, l, g, c, cr in zip(rs, ls, gs, cs, cum):
+                info = {"r": float(r), "l": int(l), "goal": bool(g),
+                        "collision": bool(c)}
+                self.ep_info_buffer.append(info)
+                if fds is not None:  # FullDataStorage role (datastorage.py:55-75)
+                    fds.update(cr, info)
 
     def _dump_logs(self, metrics: Dict[str, Any], start_t: float, start_steps: int):
         log = self.logger

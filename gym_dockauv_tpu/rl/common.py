@@ -133,6 +133,7 @@ class EpisodeStats(NamedTuple):
     lengths: jnp.ndarray  # (T, N) int32 episode length at end
     goal_reached: jnp.ndarray  # (T, N) bool
     collision: jnp.ndarray  # (T, N) bool
+    cum_reward_arr: jnp.ndarray  # (T, N, 13) cumulative reward decomposition
 
 
 def summarize_episode_stats(stats: EpisodeStats) -> dict:

@@ -77,7 +77,7 @@ class OffPolicyAlgorithm(BaseAlgorithm):
                                 res.reward, res.done.astype(jnp.float32))
             stats = EpisodeStats(res.done, res.info.cumulative_reward,
                                  res.info.t_step, res.info.goal_reached,
-                                 res.info.collision)
+                                 res.info.collision, res.info.cum_reward_arr)
             st = st.replace(replay=replay, env_states=env_states,
                             last_obs=res.obs, key=key,
                             num_ts=st.num_ts + self.n_envs)

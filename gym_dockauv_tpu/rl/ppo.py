@@ -70,7 +70,7 @@ def collect_rollout(core, apply_fn, params, env_states, obs, key, n_steps,
         tr = Transition(obs, action, log_prob, value, res.reward, res.done)
         stats = EpisodeStats(res.done, res.info.cumulative_reward,
                              res.info.t_step, res.info.goal_reached,
-                             res.info.collision)
+                             res.info.collision, res.info.cum_reward_arr)
         return (env_states, res.obs, key), (tr, stats)
 
     (env_states, obs, key), (traj, stats) = jax.lax.scan(

@@ -1,0 +1,226 @@
+"""Training / prediction / analysis orchestration.
+
+Role of gym_dockauv/train.py:25-282 and the top-level mains: `train()` runs
+the chunked learn/save loop, `predict()` rolls out a trained model with
+optional live rendering and per-episode pickling, `post_analysis_directory`
+re-plots stored pickles, `manual_control` is keyboard teleop.
+
+Where the reference forks `vector_env` worker processes
+(train.py:58-71 -> SubprocVecEnv), `train()` here passes `n_envs` straight
+to the learner: the env batch is vmapped inside the jitted iteration, and
+`shard=True` splits it over every visible device via the mesh
+(parallel.sharded).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import time
+from timeit import default_timer as timer
+from typing import Optional, Type
+
+import numpy as np
+
+from .config.env_config import EnvConfig, PREDICT_CONFIG, REGISTRATION_DICT, \
+    MANUAL_CONFIG
+from .envs.adapter import GymDockingEnv
+from .rl.base import BaseAlgorithm
+from .rl.sac import SAC
+from .utils.datastorage import EpisodeDataStorage, FullDataStorage
+
+logger = logging.getLogger(__name__)
+
+
+def make_gym(gym_env: str, env_config: Optional[EnvConfig] = None) -> GymDockingEnv:
+    """Validated env construction (train.py:269-282)."""
+    if gym_env not in REGISTRATION_DICT:
+        raise KeyError(
+            f"{gym_env!r} is not a valid env; options: {list(REGISTRATION_DICT)}")
+    return GymDockingEnv(gym_env, env_config=env_config)
+
+
+def train(gym_env: str,
+          total_timesteps: int,
+          MODEL: Type[BaseAlgorithm] = SAC,
+          model_save_path: str = "logs/model",
+          agent_hyper_parameter: Optional[dict] = None,
+          env_config: Optional[EnvConfig] = None,
+          tb_log_name: Optional[str] = None,
+          timesteps_per_save: Optional[int] = None,
+          model_load_path: Optional[str] = None,
+          vector_env: int = 8,
+          seed: Optional[int] = None,
+          shard: bool = False,
+          verbose: int = 1) -> BaseAlgorithm:
+    """Chunked learn/save loop (train.py:25-103).
+
+    `vector_env` plays the role of the reference's SubprocVecEnv worker
+    count; `timesteps_per_save` checkpoints `<model_save_path>_<steps>` like
+    train.py:90-100.  The full-run episode store is saved at the end
+    (train.py:102 — which the reference could only do un-vectorized; here it
+    always works because episode stats flow from the jitted iteration).
+    """
+    hyper = dict(agent_hyper_parameter or {})
+    hyper.pop("device", None)  # torch knob; JAX picks the backend
+    os.makedirs(os.path.dirname(model_save_path) or ".", exist_ok=True)
+
+    if model_load_path is not None:
+        model = MODEL.load(model_load_path, env=gym_env, n_envs=vector_env,
+                           verbose=verbose, **hyper)
+    else:
+        model = MODEL(env=gym_env, n_envs=vector_env, seed=seed,
+                      verbose=verbose, **hyper)
+    if env_config is not None:
+        # env built from id uses TRAIN defaults; explicit config overrides
+        from .envs.core import make_env as _mk
+        model.set_env(_mk(gym_env, env_config), n_envs=vector_env)
+
+    if shard:
+        from .parallel import shard_algorithm
+        shard_algorithm(model)
+
+    fds = FullDataStorage()
+    fds.set_up_full_storage(
+        path_folder=os.path.dirname(model_save_path) or os.getcwd(),
+        title="Training Run", env_id=gym_env)
+    model.full_data_storage = fds
+
+    chunk = timesteps_per_save or total_timesteps
+    elapsed = 0
+    start = timer()
+    while elapsed < total_timesteps:
+        n = min(chunk, total_timesteps - elapsed)
+        model.learn(total_timesteps=n, tb_log_name=tb_log_name,
+                    reset_num_timesteps=False)
+        elapsed = model.num_timesteps
+        model.save(f"{model_save_path}_{model.num_timesteps}")
+    logger.info("Training finished: %d steps in %.1fs",
+                model.num_timesteps, timer() - start)
+    fds.save()
+    return model
+
+
+def predict(gym_env: str,
+            model_path: str,
+            MODEL: Type[BaseAlgorithm] = SAC,
+            n_episodes: int = 5,
+            render: bool = False,
+            rotate_cam: bool = False,
+            env_config: Optional[EnvConfig] = None,
+            store_episodes: bool = True,
+            seed: Optional[int] = None):
+    """Deterministic rollout of n episodes (train.py:107-139) with optional
+    live rendering and per-episode pickling (PREDICT_CONFIG cadence = 1)."""
+    cfg = env_config or PREDICT_CONFIG()
+    env = make_gym(gym_env, cfg)
+    model = MODEL.load(model_path, env=gym_env)
+    results = []
+    for ep in range(n_episodes):
+        if store_episodes:
+            env.episode_data_storage = EpisodeDataStorage()
+        obs = env.reset(seed=seed + ep if seed is not None else None)
+        done, ep_reward, steps = False, 0.0, 0
+        t0 = timer()
+        while not done:
+            action, _ = model.predict(obs, deterministic=True)
+            obs, reward, done, info = env.step(action)
+            ep_reward += reward
+            steps += 1
+            if render:
+                env.render(rotate_cam=rotate_cam)
+        if store_episodes:
+            os.makedirs(cfg.save_path_folder, exist_ok=True)
+            env.episode_data_storage.save(path_folder=cfg.save_path_folder)
+            env.episode_data_storage = None
+        results.append({"episode": ep, "reward": ep_reward, "steps": steps,
+                        "goal_reached": info.get("goal_reached", False),
+                        "wall_s": timer() - t0})
+        logger.info("episode %d: reward %.1f, %d steps, goal=%s",
+                    ep, ep_reward, steps, info.get("goal_reached"))
+    return results
+
+
+def post_analysis_directory(directory: str, show_full: bool = True,
+                            show_episode: bool = True) -> list:
+    """Re-plot every stored pickle in a directory (train.py:142-162)."""
+    from .utils.plotutils import EpisodeVisualization
+
+    produced = []
+    for fname in sorted(os.listdir(directory)):
+        path = os.path.join(directory, fname)
+        if not fname.endswith(".pkl"):
+            continue
+        if "FULL_DATA_STORAGE" in fname and show_full:
+            fds = FullDataStorage.load(path)
+            produced.append(fds.plot_rewards(
+                save_path=path.replace(".pkl", "__rewards.png")))
+        elif "EPISODE" in fname and show_episode:
+            viz = EpisodeVisualization(path)
+            base = path.replace(".pkl", "")
+            produced.append(viz.plot_episode_states(
+                save_path=base + "__states.png"))
+            produced.append(viz.plot_rewards(save_path=base + "__rewards.png"))
+            produced.append(viz.plot_episode_observations(
+                save_path=base + "__obs.png"))
+            produced.append(viz.plot_u(save_path=base + "__u.png"))
+    return produced
+
+
+# WASD-style 6-axis key map (train.py:240-245)
+KEY_ACTION_MAP = {
+    "w": (0, +1.0), "s": (0, -1.0),   # surge
+    "a": (1, -1.0), "d": (1, +1.0),   # sway
+    "q": (2, -1.0), "e": (2, +1.0),   # heave
+    "j": (5, -1.0), "l": (5, +1.0),   # yaw
+    "i": (4, -1.0), "k": (4, +1.0),   # pitch
+    "u": (3, -1.0), "o": (3, +1.0),   # roll
+}
+
+
+def manual_control(gym_env: str, env_config: Optional[EnvConfig] = None,
+                   n_episodes: int = 1, action_source=None, render: bool = True,
+                   max_steps: Optional[int] = None):
+    """Keyboard teleop (train.py:165-266).  Uses pygame when available; an
+    `action_source(step) -> action` callable substitutes for headless use
+    and tests."""
+    cfg = env_config or MANUAL_CONFIG()
+    env = make_gym(gym_env, cfg)
+    n_act = env.core.n_actions
+
+    if action_source is None:
+        try:
+            import pygame
+        except ImportError as e:  # headless image: no pygame
+            raise RuntimeError(
+                "pygame is unavailable; pass action_source=callable for "
+                "scripted/headless manual control") from e
+        pygame.init()
+        screen = pygame.display.set_mode((300, 120))
+        pygame.display.set_caption("gym_dockauv_tpu manual control")
+
+        def action_source(step):
+            pygame.event.pump()
+            pressed = pygame.key.get_pressed()
+            act = np.zeros(n_act, np.float32)
+            for k, (idx, val) in KEY_ACTION_MAP.items():
+                if idx < n_act and pressed[pygame.key.key_code(k)]:
+                    act[idx] = val
+            return act
+
+    results = []
+    for ep in range(n_episodes):
+        obs = env.reset()
+        done, total, step = False, 0.0, 0
+        while not done:
+            action = np.asarray(action_source(step), np.float32)
+            lo, hi = env.action_space.low, env.action_space.high
+            action = lo + (np.clip(action, -1, 1) + 1) / 2 * (hi - lo)
+            obs, r, done, info = env.step(action)
+            total += r
+            step += 1
+            if render:
+                env.render(real_time=True)
+            if max_steps is not None and step >= max_steps:
+                break
+        results.append({"episode": ep, "reward": total, "steps": step})
+    return results
