@@ -460,6 +460,8 @@ class DockingEnv:
             delta_d=delta_d,
             reward_arr=reward_arr,
             cum_reward_arr=new_state.cum_reward_arr,
+            position=position,
+            attitude=attitude,
             terminal_observation=obs,
         )
         return new_state, StepResult(obs=obs, reward=reward, done=done, info=info)

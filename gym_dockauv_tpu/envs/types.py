@@ -87,6 +87,8 @@ class StepInfo:
     delta_d: jnp.ndarray  # ()
     reward_arr: jnp.ndarray  # (13,) decomposed reward vector
     cum_reward_arr: jnp.ndarray  # (13,) episode-cumulative decomposition
+    position: jnp.ndarray  # (3,) post-step position (pre-autoreset)
+    attitude: jnp.ndarray  # (3,) post-step attitude (pre-autoreset)
     terminal_observation: jnp.ndarray  # (n_obs,) obs at the terminal state
 
 

@@ -1,0 +1,237 @@
+"""Env wrappers.
+
+Role of stable_baselines3/common/vec_env wrappers and monitor.py:17:
+`Monitor` (per-episode reward/length/time + monitor.csv), `VecNormalize`
+(running obs/reward normalization, vec_normalize.py:296), `VecMonitor`,
+`VecFrameStack` (StackedObservations role) and `VecCheckNan`.  These wrap
+the NumPy-facing adapters (GymDockingEnv / VecDockingEnv); the jitted
+training path doesn't need them — episode stats flow from the in-graph
+iteration and NaN guards are jax.debug/checkify territory — but they keep
+the reference's composition surface for users driving envs by hand.
+"""
+from __future__ import annotations
+
+import csv
+import json
+import time
+from collections import deque
+from typing import Optional
+
+import numpy as np
+
+from ..rl.common import RunningMeanStd
+
+
+class Monitor:
+    """Single-env episode stats + monitor.csv (monitor.py:17-239)."""
+
+    EXT = "monitor.csv"
+
+    def __init__(self, env, filename: Optional[str] = None):
+        self.env = env
+        self.t_start = time.time()
+        self.episode_returns = []
+        self.episode_lengths = []
+        self.episode_times = []
+        self._current_reward = 0.0
+        self._current_length = 0
+        self._file = None
+        self._writer = None
+        if filename:
+            if not filename.endswith(self.EXT):
+                filename = filename + "." + self.EXT
+            self._file = open(filename, "w", newline="")
+            self._file.write("#" + json.dumps({"t_start": self.t_start}) + "\n")
+            self._writer = csv.DictWriter(self._file, fieldnames=("r", "l", "t"))
+            self._writer.writeheader()
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, **kwargs):
+        self._current_reward = 0.0
+        self._current_length = 0
+        return self.env.reset(**kwargs)
+
+    def step(self, action):
+        obs, reward, done, info = self.env.step(action)
+        self._current_reward += reward
+        self._current_length += 1
+        if done:
+            ep = {"r": round(self._current_reward, 6),
+                  "l": self._current_length,
+                  "t": round(time.time() - self.t_start, 6)}
+            self.episode_returns.append(ep["r"])
+            self.episode_lengths.append(ep["l"])
+            self.episode_times.append(ep["t"])
+            info = dict(info)
+            info["episode"] = ep
+            if self._writer:
+                self._writer.writerow(ep)
+                self._file.flush()
+        return obs, reward, done, info
+
+    def close(self):
+        if self._file:
+            self._file.close()
+        self.env.close()
+
+
+class VecEnvWrapper:
+    def __init__(self, venv):
+        self.venv = venv
+        self.num_envs = venv.num_envs
+        self.observation_space = venv.observation_space
+        self.action_space = venv.action_space
+
+    def __getattr__(self, name):
+        return getattr(self.venv, name)
+
+    def reset(self):
+        return self.venv.reset()
+
+    def step(self, actions):
+        return self.venv.step(actions)
+
+    def close(self):
+        self.venv.close()
+
+
+class VecMonitor(VecEnvWrapper):
+    """Vectorized episode stats (vec_monitor.py role)."""
+
+    def __init__(self, venv, info_buffer_size: int = 100):
+        super().__init__(venv)
+        self.episode_returns = np.zeros(self.num_envs)
+        self.episode_lengths = np.zeros(self.num_envs, int)
+        self.ep_info_buffer = deque(maxlen=info_buffer_size)
+
+    def reset(self):
+        self.episode_returns[:] = 0
+        self.episode_lengths[:] = 0
+        return self.venv.reset()
+
+    def step(self, actions):
+        obs, rewards, dones, infos = self.venv.step(actions)
+        self.episode_returns += rewards
+        self.episode_lengths += 1
+        for i, done in enumerate(dones):
+            if done:
+                ep = {"r": float(self.episode_returns[i]),
+                      "l": int(self.episode_lengths[i])}
+                infos[i] = dict(infos[i])
+                infos[i].setdefault("episode", ep)
+                self.ep_info_buffer.append(ep)
+                self.episode_returns[i] = 0.0
+                self.episode_lengths[i] = 0
+        return obs, rewards, dones, infos
+
+
+class VecNormalize(VecEnvWrapper):
+    """Running observation/reward normalization (vec_normalize.py:296 role):
+    obs -> clip((obs-mean)/sqrt(var+eps), +-clip_obs); rewards normalized by
+    the std of the discounted return accumulator."""
+
+    def __init__(self, venv, training: bool = True, norm_obs: bool = True,
+                 norm_reward: bool = True, clip_obs: float = 10.0,
+                 clip_reward: float = 10.0, gamma: float = 0.99,
+                 epsilon: float = 1e-8):
+        super().__init__(venv)
+        self.training = training
+        self.norm_obs = norm_obs
+        self.norm_reward = norm_reward
+        self.clip_obs = clip_obs
+        self.clip_reward = clip_reward
+        self.gamma = gamma
+        self.epsilon = epsilon
+        self.obs_rms = RunningMeanStd(shape=self.observation_space.shape)
+        self.ret_rms = RunningMeanStd(shape=())
+        self.returns = np.zeros(self.num_envs)
+
+    def normalize_obs(self, obs):
+        if not self.norm_obs:
+            return obs
+        return np.clip((obs - self.obs_rms.mean)
+                       / np.sqrt(self.obs_rms.var + self.epsilon),
+                       -self.clip_obs, self.clip_obs).astype(np.float32)
+
+    def normalize_reward(self, reward):
+        if not self.norm_reward:
+            return reward
+        return np.clip(reward / np.sqrt(self.ret_rms.var + self.epsilon),
+                       -self.clip_reward, self.clip_reward)
+
+    def reset(self):
+        obs = self.venv.reset()
+        self.returns[:] = 0
+        if self.training:
+            self.obs_rms.update(obs)
+        return self.normalize_obs(obs)
+
+    def step(self, actions):
+        obs, rewards, dones, infos = self.venv.step(actions)
+        if self.training:
+            self.obs_rms.update(obs)
+            self.returns = self.returns * self.gamma + rewards
+            self.ret_rms.update(self.returns)
+            self.returns[dones] = 0.0
+        return (self.normalize_obs(obs), self.normalize_reward(rewards),
+                dones, infos)
+
+
+class VecFrameStack(VecEnvWrapper):
+    """Stack the last n observations (StackedObservations role)."""
+
+    def __init__(self, venv, n_stack: int = 4):
+        super().__init__(venv)
+        self.n_stack = n_stack
+        dim = venv.observation_space.shape[0]
+        self.stacked = np.zeros((self.num_envs, n_stack * dim), np.float32)
+        low = np.tile(venv.observation_space.low, n_stack)
+        high = np.tile(venv.observation_space.high, n_stack)
+        from .adapter import Box
+
+        self.observation_space = Box(low, high)
+
+    def _push(self, obs):
+        dim = obs.shape[-1]
+        self.stacked = np.roll(self.stacked, -dim, axis=-1)
+        self.stacked[:, -dim:] = obs
+        return self.stacked.copy()
+
+    def reset(self):
+        obs = self.venv.reset()
+        self.stacked[:] = 0
+        return self._push(obs)
+
+    def step(self, actions):
+        obs, rewards, dones, infos = self.venv.step(actions)
+        for i, d in enumerate(dones):
+            if d:
+                self.stacked[i] = 0
+        return self._push(obs), rewards, dones, infos
+
+
+class VecCheckNan(VecEnvWrapper):
+    """Raise on NaN/inf in actions or observations (vec_check_nan.py role)."""
+
+    def __init__(self, venv, raise_exception: bool = True):
+        super().__init__(venv)
+        self.raise_exception = raise_exception
+
+    def step(self, actions):
+        self._check(actions, "actions")
+        obs, rewards, dones, infos = self.venv.step(actions)
+        self._check(obs, "observations")
+        self._check(rewards, "rewards")
+        return obs, rewards, dones, infos
+
+    def _check(self, arr, what):
+        arr = np.asarray(arr)
+        if not np.all(np.isfinite(arr)):
+            msg = f"non-finite values found in {what}"
+            if self.raise_exception:
+                raise ValueError(msg)
+            import warnings
+
+            warnings.warn(msg)

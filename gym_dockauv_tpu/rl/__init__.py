@@ -14,5 +14,7 @@ from .a2c import A2C
 from .td3 import TD3
 from .ddpg import DDPG
 from .dqn import DQN
+from .her import HerDDPG, HerSAC, HerTD3
 
-__all__ = ["PPO", "SAC", "A2C", "TD3", "DDPG", "DQN"]
+__all__ = ["PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
+           "HerSAC", "HerTD3", "HerDDPG"]

@@ -50,6 +50,15 @@ class OffPolicyAlgorithm(BaseAlgorithm):
                            self.core.n_observations,
                            n_act if n_act is not None else self.core.n_actions)
 
+    def _replay_record(self, st, res, next_obs, scaled):
+        """Write one transition batch; HER overrides to store goal data."""
+        return replay_add(st.replay, st.last_obs, next_obs, scaled,
+                          res.reward, res.done.astype(jnp.float32))
+
+    def _sample_replay(self, replay, key, batch_size):
+        """Uniform sample; HER overrides with goal relabeling."""
+        return replay_sample(replay, key, batch_size)
+
     @property
     def _steps_per_iteration(self) -> int:
         return self.cfg.train_freq * self.n_envs
@@ -73,8 +82,7 @@ class OffPolicyAlgorithm(BaseAlgorithm):
             # (off_policy_algorithm.py:404-420 terminal_observation handling)
             next_obs = jnp.where(res.done[:, None],
                                  res.info.terminal_observation, res.obs)
-            replay = replay_add(st.replay, st.last_obs, next_obs, scaled,
-                                res.reward, res.done.astype(jnp.float32))
+            replay = self._replay_record(st, res, next_obs, scaled)
             stats = EpisodeStats(res.done, res.info.cumulative_reward,
                                  res.info.t_step, res.info.goal_reached,
                                  res.info.collision, res.info.cum_reward_arr)
@@ -95,7 +103,7 @@ class OffPolicyAlgorithm(BaseAlgorithm):
         def upd(carry, i):
             st, key = carry
             key, k_samp, k_upd = jax.random.split(key, 3)
-            batch = replay_sample(st.replay, k_samp, batch_size)
+            batch = self._sample_replay(st.replay, k_samp, batch_size)
             st, metrics = self._grad_update(st, batch, should_train, i, k_upd)
             return (st, key), metrics
 
