@@ -90,9 +90,14 @@ def ray_capsule(
 
     mask_h = h >= 0.0
     sqrt_h = jnp.sqrt(jnp.where(mask_h, h, 0.0))
-    t = jnp.where(mask_h, (-b - sqrt_h) / a, NEG_INF)
+    # a == 0 <=> ray parallel to the axis (or a padded zero capsule): a body
+    # hit is impossible there (the reference's NaN propagates to a False
+    # mask); guard the division so NaN-checkers stay clean.
+    div_ok = a != 0.0
+    a_safe = jnp.where(div_ok, a, 1.0)
+    t = jnp.where(mask_h & div_ok, (-b - sqrt_h) / a_safe, 0.0)
     y = baoa + t * bard
-    mask_body = mask_h & (y > 0.0) & (y < baba)
+    mask_body = mask_h & div_ok & (y > 0.0) & (y < baba)
 
     # End caps: pick the near (y<=0) or far (y>=0) sphere center.  The
     # reference writes oa first then overwrites with (l1-cap2) for y>=0, so
@@ -130,8 +135,11 @@ def dist_segment_point(
     l1: jnp.ndarray,  # (..., 3) segment start
     l2: jnp.ndarray,  # (..., 3) segment end
 ) -> jnp.ndarray:
-    """Closest distance between a segment and a point (shape.py:393-417)."""
-    d = (l2 - l1) / jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
+    """Closest distance between a segment and a point (shape.py:393-417).
+    Degenerate (zero-length, e.g. padded) segments are guarded: the result
+    is the point-to-l1 distance instead of NaN."""
+    n = jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
+    d = (l2 - l1) / jnp.where(n == 0.0, 1.0, n)
     s = jnp.sum((l1 - po) * d, axis=-1)
     t = jnp.sum((po - l2) * d, axis=-1)
     h = jnp.maximum(jnp.maximum(s, t), 0.0)
@@ -143,7 +151,8 @@ def vec_line_point(po: jnp.ndarray, l1: jnp.ndarray, l2: jnp.ndarray) -> jnp.nda
     """Vector from the (infinite) line through l1,l2 to the point's projection
     foot, pointing line->point negated... matches shape.py:420-433: returns
     projection - point."""
-    d = (l2 - l1) / jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
+    n = jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
+    d = (l2 - l1) / jnp.where(n == 0.0, 1.0, n)
     v = po - l1
     t = jnp.sum(v * d, axis=-1)
     pro = l1 + t[..., None] * d
