@@ -51,6 +51,10 @@ class SACConfig:
     seed: Optional[int] = None
     net_arch: Tuple[int, ...] = (256, 256)
     tensorboard_log: Optional[str] = None
+    # TPU knob (no SB3 counterpart): collect/update cycles fused into one
+    # jitted call — amortizes host->device dispatch without changing the
+    # algorithm (train_freq/gradient_steps semantics apply per cycle).
+    jit_iters: int = 1
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -98,6 +102,7 @@ class TD3Config:
     seed: Optional[int] = None
     net_arch: Tuple[int, ...] = (400, 300)
     tensorboard_log: Optional[str] = None
+    jit_iters: int = 1  # fused collect/update cycles per jitted call
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)
@@ -134,6 +139,7 @@ class DQNConfig:
     seed: Optional[int] = None
     net_arch: Tuple[int, ...] = (64, 64)
     tensorboard_log: Optional[str] = None
+    jit_iters: int = 1  # fused collect/update cycles per jitted call
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

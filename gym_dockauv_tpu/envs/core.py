@@ -253,8 +253,10 @@ class DockingEnv:
         d_sph = rays.ray_sphere(
             origin, rd_n, state.sph_c, state.sph_r, valid=state.sph_valid
         )  # (R, S)
-        merged = rays.min_positive(jnp.concatenate([d_caps, d_sph], axis=-1), axis=-1)
-        return rad.clamp_intersections(self.fan, merged)
+        # fused min-positive + clamp (== min_positive then clamp_intersections;
+        # the gather-free form is ~26x faster on TPU, see ops/rays.py)
+        return rays.nearest_hit_clamped(
+            jnp.concatenate([d_caps, d_sph], axis=-1), self.fan.max_dist)
 
     def _collision(self, state: EnvState, position: jnp.ndarray) -> jnp.ndarray:
         safety = jnp.asarray(self.config.safety_radius, self.dtype)
@@ -477,9 +479,8 @@ class DockingEnv:
                                   state.cap_r, valid=state.cap_valid)
         d_sph = rays.ray_sphere(origin, rd_n, state.sph_c, state.sph_r,
                                 valid=state.sph_valid)
-        merged = rays.min_positive(
-            jnp.concatenate([d_caps, d_sph], axis=-1), axis=-1)
-        dist = rad.clamp_intersections(self.fan, merged)
+        dist = rays.nearest_hit_clamped(
+            jnp.concatenate([d_caps, d_sph], axis=-1), self.fan.max_dist)
         return eta[0:3], eta[0:3] + rd_n * dist[:, None]
 
     def step_autoreset(self, state: EnvState, action: jnp.ndarray) -> Tuple[EnvState, StepResult]:

@@ -122,12 +122,28 @@ def min_positive(dist: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
     """Smallest strictly-positive distance along `axis`; if none positive,
     the element whose positive-masked value is +inf-min (i.e. the first
     candidate in the reference's argmin-over-inf trick, shape.py:264 and
-    docking3d.py:451)."""
+    docking3d.py:451).
+
+    NOTE: the argmin+gather preserving the no-hit candidate's negative value
+    is exact reference semantics but ~26x slower than a masked min on TPU;
+    the hot radar path uses `nearest_hit_clamped` below, which is
+    bit-identical AFTER the clamp step (sensor.py:104-118 maps every
+    non-positive/beyond-range value to max_dist anyway)."""
     masked = jnp.where(dist > 0.0, dist, jnp.inf)
     idx = jnp.argmin(masked, axis=axis)
     return jnp.take_along_axis(dist, jnp.expand_dims(idx, axis), axis=axis).squeeze(
         axis
     )
+
+
+def nearest_hit_clamped(dist: jnp.ndarray, max_dist, axis: int = -1) -> jnp.ndarray:
+    """Fused min-positive + clamp: the nearest strictly-positive hit, with
+    misses and beyond-range hits mapped to max_dist.  Equals
+    clamp_intersections(min_positive(dist)) for every input (a pure
+    reduction — no gather, so it runs at VPU speed)."""
+    masked = jnp.where(dist > 0.0, dist, jnp.inf)
+    m = jnp.min(masked, axis=axis)
+    return jnp.where(m > max_dist, max_dist, m)
 
 
 def dist_segment_point(

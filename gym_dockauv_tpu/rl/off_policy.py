@@ -60,8 +60,12 @@ class OffPolicyAlgorithm(BaseAlgorithm):
         return replay_sample(replay, key, batch_size)
 
     @property
+    def _jit_iters(self) -> int:
+        return max(int(getattr(self.cfg, "jit_iters", 1)), 1)
+
+    @property
     def _steps_per_iteration(self) -> int:
-        return self.cfg.train_freq * self.n_envs
+        return self.cfg.train_freq * self.n_envs * self._jit_iters
 
     def _collect(self, state, n_steps: int):
         """n_steps of explore-act -> env step -> replay add."""
@@ -94,6 +98,24 @@ class OffPolicyAlgorithm(BaseAlgorithm):
         return jax.lax.scan(body, state, None, length=n_steps)
 
     def _iteration(self, state, progress_remaining):
+        """One jitted program = jit_iters x (collect train_freq steps ->
+        gradient_steps updates); jit_iters > 1 only amortizes dispatch."""
+        k = self._jit_iters
+        if k == 1:
+            return self._cycle(state, progress_remaining)
+
+        def one(st, _):
+            st, metrics, stats = self._cycle(st, progress_remaining)
+            return st, (metrics, stats)
+
+        state, (metrics, stats) = jax.lax.scan(one, state, None, length=k)
+        metrics = {key: jnp.mean(v) for key, v in metrics.items()}
+        # stats leaves are (k, T, N): flatten the cycle axis into time
+        stats = jax.tree_util.tree_map(
+            lambda x: x.reshape((-1,) + x.shape[2:]), stats)
+        return state, metrics, stats
+
+    def _cycle(self, state, progress_remaining):
         cfg = self.cfg
         batch_size = self._local_batch(state.last_obs.shape[0], cfg.batch_size)
         work_key, next_key = self._work_keys(state)
