@@ -212,6 +212,70 @@ class VecFrameStack(VecEnvWrapper):
         return self._push(obs), rewards, dones, infos
 
 
+class VideoRecorder:
+    """Record episodes to video files (VecVideoRecorder role,
+    vec_video_recorder.py): wraps a GymDockingEnv, captures each episode via
+    EpisodeDataStorage and exports the 3-D trajectory animation on episode
+    end (mp4 with ffmpeg, else .gif via pillow)."""
+
+    def __init__(self, env, video_folder: str, record_video_trigger=None,
+                 name_prefix: str = "docking", fps: int = 10):
+        import os
+
+        self.env = env
+        self.video_folder = video_folder
+        self.trigger = record_video_trigger or (lambda ep: True)
+        self.name_prefix = name_prefix
+        self.fps = fps
+        self.episode_id = 0
+        self.recorded_videos = []
+        os.makedirs(video_folder, exist_ok=True)
+
+    def __getattr__(self, name):
+        return getattr(self.env, name)
+
+    def reset(self, **kwargs):
+        from ..utils.datastorage import EpisodeDataStorage
+
+        self._flush()
+        self.episode_id += 1
+        if self.trigger(self.episode_id):
+            self.env.episode_data_storage = EpisodeDataStorage()
+        obs = self.env.reset(**kwargs)
+        return obs
+
+    def step(self, action):
+        out = self.env.step(action)
+        if out[2]:  # done
+            self._flush()
+        return out
+
+    def _flush(self):
+        import os
+
+        if self.env.episode_data_storage is None:
+            return
+        if not self.env.episode_data_storage._arrays:
+            self.env.episode_data_storage = None
+            return
+        from ..utils.plotutils import EpisodeVisualization
+
+        storage = self.env.episode_data_storage
+        self.env.episode_data_storage = None
+        storage.storage = storage.storage or {}
+        for k, arr in storage._arrays.items():
+            storage.storage[k] = arr.get_data()
+        path = os.path.join(self.video_folder,
+                            f"{self.name_prefix}-episode-{self.episode_id}")
+        out = EpisodeVisualization(storage).plot_episode_animation(
+            save_path=path, fps=self.fps)
+        self.recorded_videos.append(out)
+
+    def close(self):
+        self._flush()
+        self.env.close()
+
+
 class VecCheckNan(VecEnvWrapper):
     """Raise on NaN/inf in actions or observations (vec_check_nan.py role)."""
 

@@ -140,6 +140,22 @@ def test_vec_frame_stack():
     np.testing.assert_allclose(obs2[:, 36:72], obs[:, 72:108])  # shifted
 
 
+def test_video_recorder(tmp_path):
+    from gym_dockauv_tpu.envs.wrappers import VideoRecorder
+
+    env = VideoRecorder(
+        gdt.make(ENV, env_config=EnvConfig(max_timesteps=4)),
+        str(tmp_path), record_video_trigger=lambda ep: ep == 2)
+    for ep in range(2):
+        done = False
+        env.reset(seed=ep)
+        while not done:
+            _, _, done, _ = env.step(np.zeros(6, np.float32))
+    env.close()
+    assert len(env.recorded_videos) == 1  # only episode 2 triggered
+    assert os.path.exists(env.recorded_videos[0])
+
+
 def test_vec_check_nan():
     env = VecCheckNan(_venv(1))
     env.reset()
