@@ -317,6 +317,38 @@ def control_matrix(params: FossenParams, nu_r: jnp.ndarray) -> jnp.ndarray:
     return params.b0 + params.b2 * u2
 
 
+def coriolis_times_nu(params: FossenParams, nu_r: jnp.ndarray) -> jnp.ndarray:
+    """(C_RB + C_A) @ nu_r in closed form — skew matvecs become cross
+    products, so no (..., 6, 6) temporaries (those tile at 36/1024 lane
+    utilization on TPU).  Algebraically identical to
+    `coriolis(params, nu_r) @ nu_r`; verified in tests."""
+    nu1, nu2 = nu_r[..., 0:3], nu_r[..., 3:6]
+    m = params.m
+    rg = params.r_g
+    ib_nu2 = jnp.einsum("ij,...j->...i", params.i_b, nu2)
+    nu2_x_nu1 = jnp.cross(nu2, nu1)
+    # C_RB rows: S(a)@b == a x b for each skew block
+    top = m * (nu2_x_nu1 - jnp.cross(nu2, jnp.cross(rg, nu2)))
+    bot = m * jnp.cross(rg, nu2_x_nu1) - jnp.cross(ib_nu2, nu2)
+    # C_A blocks: -S(ma_lin*nu1) (tr & bl), -S(ma_ang*nu2) (br)
+    ma1 = params.ma_lin * nu1
+    ma2 = params.ma_ang * nu2
+    top = top - jnp.cross(ma1, nu2)
+    bot = bot - jnp.cross(ma1, nu1) - jnp.cross(ma2, nu2)
+    return jnp.concatenate([top, bot], axis=-1)
+
+
+def damping_times_nu(params: FossenParams, nu_r: jnp.ndarray) -> jnp.ndarray:
+    """D(nu_r) @ nu_r via three constant-matrix matvecs (no (...,6,6)
+    temporaries).  Identical to `damping(params, nu_r) @ nu_r`."""
+    abs_nu = jnp.abs(nu_r)
+    lin = jnp.einsum("ij,...j->...i", params.d_lin, nu_r)
+    quad = jnp.einsum("ij,...j->...i", params.d_quad, abs_nu * nu_r)
+    lift = abs_nu[..., 0, None] * jnp.einsum("ij,...j->...i", params.d_lift,
+                                             nu_r)
+    return lin + quad + lift
+
+
 def fossen_state_dot(
     params: FossenParams,
     state: jnp.ndarray,
@@ -326,15 +358,19 @@ def fossen_state_dot(
     """RHS of the 12 ODEs (auvsim.py:120-171): [J(eta)(nu_r+nu_c); M^-1 tau].
 
     ``state`` is (..., 12) = [eta, nu_r]; ``u`` (..., a); ``nu_c`` (..., 6).
+    Hot-path form: all matrix products are either constant-matrix matvecs or
+    closed-form cross-product expansions (see coriolis_times_nu).
     """
     eta = state[..., :6]
     nu_r = state[..., 6:]
 
     eta_dot = geom.euler_kinematics(eta, nu_r + nu_c)
 
-    tau = jnp.einsum("...ij,...j->...i", control_matrix(params, nu_r), u)
-    cd = coriolis(params, nu_r) + damping(params, nu_r)
-    forces = tau - jnp.einsum("...ij,...j->...i", cd, nu_r) - restoring(params, eta)
+    # B(nu) @ u = B0 @ u + u_surge^2 * (B2 @ u)
+    tau = jnp.einsum("ij,...j->...i", params.b0, u) \
+        + nu_r[..., 0, None] ** 2 * jnp.einsum("ij,...j->...i", params.b2, u)
+    forces = tau - coriolis_times_nu(params, nu_r) \
+        - damping_times_nu(params, nu_r) - restoring(params, eta)
     nu_dot = jnp.einsum("ij,...j->...i", params.m_inv, forces)
     return jnp.concatenate([eta_dot, nu_dot], axis=-1)
 

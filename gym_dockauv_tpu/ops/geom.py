@@ -99,18 +99,30 @@ def kinematic_j(eta: jnp.ndarray) -> jnp.ndarray:
 
 
 def euler_kinematics(eta: jnp.ndarray, nu: jnp.ndarray) -> jnp.ndarray:
-    """eta_dot = [R(Theta) v; T(Theta) w] without materializing the 6x6 J.
-
-    Cheaper form of J(eta) @ nu used on the hot path (two 3x3 matvecs).
-    Equivalent to reference `geom.J(eta).dot(nu)` (auvsim.py:162) and
-    `gnc.attitudeEuler`'s RHS (gnc.py:123-137).
+    """eta_dot = [R(Theta) v; T(Theta) w] without materializing J or even
+    the 3x3 blocks: fully component-form (the (N,3,3) temporaries tile at
+    9/1024 lane utilization on TPU; scalar lanes tile perfectly).  The
+    expressions are verbatim the rzyx/tzyx entries, so results match
+    `J(eta) @ nu` (auvsim.py:162, gnc.py:123-137) op-for-op.
     """
     phi, theta, psi = eta[..., 3], eta[..., 4], eta[..., 5]
-    r = rzyx(phi, theta, psi)
-    t = tzyx(phi, theta)
-    p_dot = jnp.einsum("...ij,...j->...i", r, nu[..., 0:3])
-    th_dot = jnp.einsum("...ij,...j->...i", t, nu[..., 3:6])
-    return jnp.concatenate([p_dot, th_dot], axis=-1)
+    u, v, w = nu[..., 0], nu[..., 1], nu[..., 2]
+    p, q, r = nu[..., 3], nu[..., 4], nu[..., 5]
+    cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+    cth, sth = jnp.cos(theta), jnp.sin(theta)
+    cpsi, spsi = jnp.cos(psi), jnp.sin(psi)
+    tth = jnp.tan(theta)
+
+    x_dot = cpsi * cth * u + (-spsi * cphi + cpsi * sth * sphi) * v \
+        + (spsi * sphi + cpsi * cphi * sth) * w
+    y_dot = spsi * cth * u + (cpsi * cphi + sphi * sth * spsi) * v \
+        + (-cpsi * sphi + sth * spsi * cphi) * w
+    z_dot = -sth * u + cth * sphi * v + cth * cphi * w
+    phi_dot = p + sphi * tth * q + cphi * tth * r
+    theta_dot = cphi * q - sphi * r
+    psi_dot = (sphi / cth) * q + (cphi / cth) * r
+    return jnp.stack([x_dot, y_dot, z_dot, phi_dot, theta_dot, psi_dot],
+                     axis=-1)
 
 
 def skew(a: jnp.ndarray) -> jnp.ndarray:

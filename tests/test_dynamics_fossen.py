@@ -181,3 +181,44 @@ def test_vmap_consistency():
         s, u, d = fossen_vehicle_step(p, states[i], us[i], actions[i], nu_c[i], 0.1)
         np.testing.assert_allclose(np.asarray(bs[i]), np.asarray(s), atol=1e-12)
         np.testing.assert_allclose(np.asarray(bd[i]), np.asarray(d), atol=1e-12)
+
+
+def test_closed_form_force_products_match_matrix_forms():
+    """coriolis_times_nu / damping_times_nu / euler_kinematics equal the
+    explicit (..,6,6)-matrix forms they replace on the hot path."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from gym_dockauv_tpu.dynamics.statespace import (
+        coriolis,
+        coriolis_times_nu,
+        damping,
+        damping_times_nu,
+    )
+    from gym_dockauv_tpu.dynamics.vehicles import make_vehicle
+    from gym_dockauv_tpu.ops import geom
+
+    params = make_vehicle("BlueROV2", dtype=jnp.float64)
+    rng = np.random.default_rng(0)
+    nu = jnp.asarray(rng.normal(size=(32, 6)))
+    eta = jnp.asarray(rng.normal(size=(32, 6)))
+
+    c_ref = jnp.einsum("...ij,...j->...i", coriolis(params, nu), nu)
+    np.testing.assert_allclose(np.asarray(coriolis_times_nu(params, nu)),
+                               np.asarray(c_ref), rtol=1e-12, atol=1e-12)
+    d_ref = jnp.einsum("...ij,...j->...i", damping(params, nu), nu)
+    np.testing.assert_allclose(np.asarray(damping_times_nu(params, nu)),
+                               np.asarray(d_ref), rtol=1e-12, atol=1e-12)
+    j_ref = jnp.einsum("...ij,...j->...i", geom.kinematic_j(eta), nu)
+    np.testing.assert_allclose(np.asarray(geom.euler_kinematics(eta, nu)),
+                               np.asarray(j_ref), rtol=1e-12, atol=1e-12)
+
+    lauv = make_vehicle("LAUV", dtype=jnp.float64)
+    nu3 = jnp.asarray(rng.normal(size=(8, 6)))
+    c_ref = jnp.einsum("...ij,...j->...i", coriolis(lauv, nu3), nu3)
+    np.testing.assert_allclose(np.asarray(coriolis_times_nu(lauv, nu3)),
+                               np.asarray(c_ref), rtol=1e-12, atol=1e-12)
+    d_ref = jnp.einsum("...ij,...j->...i", damping(lauv, nu3), nu3)
+    np.testing.assert_allclose(np.asarray(damping_times_nu(lauv, nu3)),
+                               np.asarray(d_ref), rtol=1e-12, atol=1e-12)
