@@ -36,6 +36,9 @@ def rzyx(phi: jnp.ndarray, theta: jnp.ndarray, psi: jnp.ndarray) -> jnp.ndarray:
     """ZYX Euler rotation matrix body->NED, shape (..., 3, 3).
 
     Matches reference `geomutils.Rzyx` (geomutils.py:14-43).
+    NOTE: `euler_kinematics` inlines these entries component-form for the
+    hot path — keep the two in sync (guarded by
+    test_closed_form_force_products_match_matrix_forms).
     """
     cphi, sphi = jnp.cos(phi), jnp.sin(phi)
     cth, sth = jnp.cos(theta), jnp.sin(theta)
@@ -66,6 +69,7 @@ def tzyx(phi: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
 
     Matches reference `geomutils.Tzyx` (geomutils.py:46-75).  Like the
     reference, singular at theta = +-pi/2 (IEEE inf propagates).
+    NOTE: entries are inlined in `euler_kinematics` — keep in sync.
     """
     sphi, cphi = jnp.sin(phi), jnp.cos(phi)
     cth = jnp.cos(theta)

@@ -186,11 +186,8 @@ def test_vmap_consistency():
 def test_closed_form_force_products_match_matrix_forms():
     """coriolis_times_nu / damping_times_nu / euler_kinematics equal the
     explicit (..,6,6)-matrix forms they replace on the hot path."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-
     from gym_dockauv_tpu.dynamics.statespace import (
+        control_matrix,
         coriolis,
         coriolis_times_nu,
         damping,
@@ -213,6 +210,14 @@ def test_closed_form_force_products_match_matrix_forms():
     j_ref = jnp.einsum("...ij,...j->...i", geom.kinematic_j(eta), nu)
     np.testing.assert_allclose(np.asarray(geom.euler_kinematics(eta, nu)),
                                np.asarray(j_ref), rtol=1e-12, atol=1e-12)
+
+    # the inlined B0@u + u^2*(B2@u) in fossen_state_dot equals control_matrix@u
+    u_in = jnp.asarray(rng.normal(size=(32, 6)))
+    b_ref = jnp.einsum("...ij,...j->...i", control_matrix(params, nu), u_in)
+    b_new = jnp.einsum("ij,...j->...i", params.b0, u_in) \
+        + nu[..., 0, None] ** 2 * jnp.einsum("ij,...j->...i", params.b2, u_in)
+    np.testing.assert_allclose(np.asarray(b_new), np.asarray(b_ref),
+                               rtol=1e-12, atol=1e-12)
 
     lauv = make_vehicle("LAUV", dtype=jnp.float64)
     nu3 = jnp.asarray(rng.normal(size=(8, 6)))
