@@ -20,7 +20,7 @@ import numpy as np
 
 from ..envs.adapter import GymDockingEnv, VecDockingEnv
 from ..envs.core import DockingEnv, make_env
-from .common import EpisodeStats, summarize_episode_stats
+from .common import EpisodeStats
 from .logger import Logger, configure_logger, unique_tb_dir
 
 
@@ -39,14 +39,25 @@ def resolve_env(env, n_envs: Optional[int] = None):
 
 
 class BaseAlgorithm:
-    """Shared scaffolding; subclasses implement `_setup_model`,
-    `_iteration(state, progress_remaining) -> (state, metrics, EpisodeStats)`
-    and `_predict_fn`."""
+    """Shared scaffolding; subclasses set `config_cls`, implement
+    `_setup_model`, `_iteration(state, progress_remaining) -> (state,
+    metrics, EpisodeStats)` and `_predict_fn`."""
 
-    def __init__(self, policy: str = "MlpPolicy", env=None, n_envs: Optional[int] = None,
-                 seed: Optional[int] = None, verbose: int = 0,
-                 tensorboard_log: Optional[str] = None, device: str = "auto"):
+    config_cls = None  # subclass hyper-parameter dataclass
+
+    def __init__(self, policy: str = "MlpPolicy", env=None, config=None,
+                 n_envs: Optional[int] = None, seed: Optional[int] = None,
+                 verbose: int = 0, tensorboard_log: Optional[str] = None,
+                 device: str = "auto", **hyper):
         assert policy in ("MlpPolicy",), "only MlpPolicy exists for these envs"
+        cfg = config or self.config_cls()
+        if hyper:
+            cfg = cfg.replace(**hyper)
+        if getattr(cfg, "tensorboard_log", None) and tensorboard_log is None:
+            tensorboard_log = cfg.tensorboard_log
+        self.cfg = cfg
+        if seed is None:
+            seed = getattr(cfg, "seed", None)
         self.policy = policy
         self.core, self.n_envs, self.env_id = resolve_env(env, n_envs)
         self.verbose = verbose
@@ -61,6 +72,8 @@ class BaseAlgorithm:
         self._logger: Optional[Logger] = None
         self._state = None  # subclass train-state pytree
         self._iteration_jit = None
+        self._predict_jit = None
+        self._eval_cache: Dict[Any, Any] = {}
         # Set by parallel.sharded.shard_algorithm: mesh axis for data-parallel
         # gradient pmean inside the jitted iteration.
         self.axis_name: Optional[str] = None
@@ -98,8 +111,19 @@ class BaseAlgorithm:
               tb_log_name: Optional[str] = None, reset_num_timesteps: bool = True,
               progress_bar: bool = False):
         if reset_num_timesteps:
+            restarting = getattr(self, "_ever_learned", False)
             self.num_timesteps = 0
             self.ep_info_buffer.clear()
+            if restarting and self._state is not None:
+                # SB3 _setup_learn semantics: fresh episodes + (for
+                # off-policy) a re-run of the learning_starts warmup — the
+                # device-side num_ts counter gates should_train, so it must
+                # follow the host reset.
+                self._refresh_env_states()
+                if hasattr(self._state, "num_ts"):
+                    self._state = self._state.replace(
+                        num_ts=jnp.zeros((), jnp.int32))
+        self._ever_learned = True
         self._configure_learn_logger(tb_log_name or type(self).__name__,
                                      reset_num_timesteps)
         target = self.num_timesteps + total_timesteps if not reset_num_timesteps \
@@ -127,21 +151,21 @@ class BaseAlgorithm:
         return self
 
     def _absorb_episode_stats(self, ep_stats: EpisodeStats) -> None:
-        s = summarize_episode_stats(ep_stats)
-        if s["episodes"]:
-            dones = np.asarray(ep_stats.dones)
-            rs = np.asarray(ep_stats.returns)[dones]
-            ls = np.asarray(ep_stats.lengths)[dones]
-            gs = np.asarray(ep_stats.goal_reached)[dones]
-            cs = np.asarray(ep_stats.collision)[dones]
-            cum = np.asarray(ep_stats.cum_reward_arr)[dones]
-            fds = getattr(self, "full_data_storage", None)
-            for r, l, g, c, cr in zip(rs, ls, gs, cs, cum):
-                info = {"r": float(r), "l": int(l), "goal": bool(g),
-                        "collision": bool(c)}
-                self.ep_info_buffer.append(info)
-                if fds is not None:  # FullDataStorage role (datastorage.py:55-75)
-                    fds.update(cr, info)
+        dones = np.asarray(ep_stats.dones)
+        if not dones.any():
+            return
+        rs = np.asarray(ep_stats.returns)[dones]
+        ls = np.asarray(ep_stats.lengths)[dones]
+        gs = np.asarray(ep_stats.goal_reached)[dones]
+        cs = np.asarray(ep_stats.collision)[dones]
+        cum = np.asarray(ep_stats.cum_reward_arr)[dones]
+        fds = getattr(self, "full_data_storage", None)
+        for r, l, g, c, cr in zip(rs, ls, gs, cs, cum):
+            info = {"r": float(r), "l": int(l), "goal": bool(g),
+                    "collision": bool(c)}
+            self.ep_info_buffer.append(info)
+            if fds is not None:  # FullDataStorage role (datastorage.py:55-75)
+                fds.update(cr, info)
 
     def _dump_logs(self, metrics: Dict[str, Any], start_t: float, start_steps: int):
         log = self.logger
@@ -175,7 +199,7 @@ class BaseAlgorithm:
         if single:
             obs = obs[None]
         self.key, sub = jax.random.split(self.key)
-        if not hasattr(self, "_predict_jit") or self._predict_jit is None:
+        if self._predict_jit is None:
             self._predict_jit = jax.jit(self._predict_fn, static_argnums=(2,))
         act = self._predict_jit(self._inference_params(), jnp.asarray(obs),
                                 bool(deterministic), sub)
@@ -183,6 +207,12 @@ class BaseAlgorithm:
         return (act[0], state) if single else (act, state)
 
     # -- persistence -----------------------------------------------------------
+    def _config_from_dict(self, d: Dict[str, Any]):
+        """Rebuild the config dataclass from a pickled dict (tuple-field
+        lists come back as lists)."""
+        return self.config_cls(**{
+            k: tuple(v) if isinstance(v, list) else v for k, v in d.items()})
+
     def _save_payload(self) -> Dict[str, Any]:
         raise NotImplementedError
 
@@ -192,7 +222,11 @@ class BaseAlgorithm:
     def save(self, path: str) -> None:
         """Model snapshot (policy/optimizer params + config), SB3 save role
         (base_class.py:680-759).  Full training state incl. replay buffer and
-        env states goes through utils.checkpoint instead."""
+        env states goes through utils.checkpoint instead.  cloudpickle is
+        used so schedule closures in the config survive (SB3 does the
+        same, save_util.py)."""
+        import cloudpickle
+
         if not path.endswith(".zip") and not path.endswith(".pkl"):
             path = path + ".zip"  # SB3 appends .zip; we keep the convention
         payload = {
@@ -204,7 +238,7 @@ class BaseAlgorithm:
         }
         payload.update(jax.device_get(self._save_payload()))
         with open(path, "wb") as f:
-            pickle.dump(payload, f)
+            cloudpickle.dump(payload, f)
 
     @classmethod
     def load(cls, path: str, env=None, n_envs: Optional[int] = None, **kwargs):
@@ -251,6 +285,30 @@ class BaseAlgorithm:
     def get_env(self):
         return self.core
 
+    def _refresh_env_states(self) -> None:
+        """Fresh episodes of the current core inside the training state."""
+        self.key, k_env = jax.random.split(self.key)
+        env_states, obs = jax.jit(jax.vmap(self.core.reset))(
+            jax.random.split(k_env, self.n_envs),
+            jnp.zeros((self.n_envs,), jnp.int32))
+        self._state = self._state.replace(env_states=env_states, last_obs=obs)
+
     def set_env(self, env, n_envs: Optional[int] = None) -> None:
-        self.core, self.n_envs, self.env_id = resolve_env(env, n_envs or self.n_envs)
+        """Swap the training env (base_class.py set_env): spaces must match,
+        env states are re-sampled from the new env, action bounds and every
+        compiled function are refreshed."""
+        core, n, env_id = resolve_env(env, n_envs or self.n_envs)
+        assert core.n_observations == self.core.n_observations and \
+            core.n_actions == self.core.n_actions, (
+                "set_env requires matching observation/action spaces")
+        if self._state is not None and hasattr(self._state, "replay"):
+            assert n == self.n_envs, (
+                "off-policy set_env cannot change n_envs (replay layout)")
+        self.core, self.n_envs, self.env_id = core, n, env_id
+        self._action_low = jnp.asarray(core.action_low, jnp.float32)
+        self._action_high = jnp.asarray(core.action_high, jnp.float32)
+        if self._state is not None:
+            self._refresh_env_states()
         self._iteration_jit = None
+        self._predict_jit = None
+        self._eval_cache.clear()

@@ -7,5 +7,4 @@ from .td3 import TD3
 
 
 class DDPG(TD3):
-    config_cls = DDPGConfig
-    n_critics = 1
+    config_cls = DDPGConfig  # policy_delay=1, no smoothing, n_critics=1

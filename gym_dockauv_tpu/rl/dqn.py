@@ -61,20 +61,9 @@ class DQN(OffPolicyAlgorithm):
     config_cls = DQNConfig
 
     def __init__(self, policy: str = "MlpPolicy", env=None,
-                 config: Optional[DQNConfig] = None, n_envs: Optional[int] = None,
-                 discrete_actions: Optional[np.ndarray] = None,
-                 seed: Optional[int] = None, verbose: int = 0,
-                 tensorboard_log: Optional[str] = None, device: str = "auto",
-                 **hyper):
-        cfg = config or self.config_cls()
-        if hyper:
-            cfg = cfg.replace(**hyper)
-        self.cfg = cfg
+                 discrete_actions: Optional[np.ndarray] = None, **kwargs):
         self._discrete_actions_in = discrete_actions
-        if seed is None:
-            seed = cfg.seed
-        super().__init__(policy, env, n_envs=n_envs, seed=seed, verbose=verbose,
-                         tensorboard_log=tensorboard_log, device=device)
+        super().__init__(policy, env, **kwargs)
 
     def _setup_model(self) -> None:
         cfg = self.cfg
@@ -132,13 +121,15 @@ class DQN(OffPolicyAlgorithm):
         return self.action_table[idx]
 
     # -- updates --------------------------------------------------------------
-    def _iteration(self, state: DQNState, progress_remaining):
+    def _cycle(self, state: DQNState, progress_remaining):
+        """One collect/update cycle with the target-refresh boundary check
+        per cycle (NOT per _iteration), so jit_iters>1 cannot collapse
+        multiple target_update_interval crossings into one refresh
+        (dqn.py:_on_step semantics)."""
         state = state.replace(
             exploration_rate=self._exploration_schedule(progress_remaining))
         before = state.num_ts
-        new_state, metrics, stats = super()._iteration(state, progress_remaining)
-        # hard target refresh when an interval boundary was crossed during
-        # this iteration's env steps (dqn.py:_on_step semantics)
+        new_state, metrics, stats = super()._cycle(state, progress_remaining)
         crossed = (new_state.num_ts // self.cfg.target_update_interval) \
             > (before // self.cfg.target_update_interval)
         target = self._masked_apply(
@@ -178,15 +169,19 @@ class DQN(OffPolicyAlgorithm):
 
     # ------------------------------------------------------------------
     def _inference_params(self):
-        return self._state.params
+        # epsilon rides along as a traced value so non-deterministic
+        # predict() follows the annealed exploration rate (it would
+        # otherwise bake in as a compile-time constant)
+        return (self._state.params, self._state.exploration_rate)
 
-    def _predict_fn(self, params, obs, deterministic, key):
+    def _predict_fn(self, params_and_eps, obs, deterministic, key):
+        params, eps = params_and_eps
         q = self.net.apply(params, obs)
         idx = jnp.argmax(q, axis=-1)
         if not deterministic:  # static under jit
             k1, k2 = jax.random.split(key)
             rand = jax.random.randint(k1, idx.shape, 0, self.n_discrete)
-            take = jax.random.uniform(k2, idx.shape) < self._state.exploration_rate
+            take = jax.random.uniform(k2, idx.shape) < eps
             idx = jnp.where(take, rand, idx)
         return self.action_table[idx]
 
@@ -197,9 +192,7 @@ class DQN(OffPolicyAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self.config_cls(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in payload["config"].items()})
+        self.cfg = self._config_from_dict(payload["config"])
         self._discrete_actions_in = np.asarray(payload["action_table"])
         self._setup_model()
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731

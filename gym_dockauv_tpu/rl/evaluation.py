@@ -47,7 +47,16 @@ def evaluate_policy(model, env=None, n_eval_episodes: int = 10,
             body, init, None, length=max_t)
         return rewards, lengths, goal
 
-    rewards, lengths, goal = jax.jit(rollout)(
+    cache = getattr(model, "_eval_cache", None)
+    cache_key = ("eval", n_eval_episodes, deterministic,
+                 id(core) if env is not None else None)
+    if cache is not None and cache_key in cache:
+        rollout_jit = cache[cache_key]
+    else:
+        rollout_jit = jax.jit(rollout)
+        if cache is not None:
+            cache[cache_key] = rollout_jit
+    rewards, lengths, goal = rollout_jit(
         model._inference_params(), jax.random.PRNGKey(seed))
     rewards = np.asarray(rewards)
     lengths = np.asarray(lengths)

@@ -16,8 +16,7 @@ per learn iteration.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -101,22 +100,6 @@ def compute_gae(rewards, values, dones, last_values, gamma, gae_lambda):
 
 class PPO(BaseAlgorithm):
     config_cls = PPOConfig
-
-    def __init__(self, policy: str = "MlpPolicy", env=None,
-                 config: Optional[PPOConfig] = None, n_envs: Optional[int] = None,
-                 seed: Optional[int] = None, verbose: int = 0,
-                 tensorboard_log: Optional[str] = None, device: str = "auto",
-                 **hyper):
-        cfg = config or self.config_cls()
-        if hyper:
-            cfg = cfg.replace(**hyper)
-        if cfg.tensorboard_log and tensorboard_log is None:
-            tensorboard_log = cfg.tensorboard_log
-        self.cfg = cfg
-        if seed is None:
-            seed = cfg.seed
-        super().__init__(policy, env, n_envs=n_envs, seed=seed, verbose=verbose,
-                         tensorboard_log=tensorboard_log, device=device)
 
     # ------------------------------------------------------------------
     def _setup_model(self) -> None:
@@ -271,9 +254,7 @@ class PPO(BaseAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self.config_cls(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in payload["config"].items()})
+        self.cfg = self._config_from_dict(payload["config"])
         self._setup_model()
         self._state = self._state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, payload["params"]))

@@ -11,8 +11,6 @@ whole collect+train iteration is one XLA program.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -46,22 +44,6 @@ class SACState:
 
 class SAC(OffPolicyAlgorithm):
     config_cls = SACConfig
-
-    def __init__(self, policy: str = "MlpPolicy", env=None,
-                 config: Optional[SACConfig] = None, n_envs: Optional[int] = None,
-                 seed: Optional[int] = None, verbose: int = 0,
-                 tensorboard_log: Optional[str] = None, device: str = "auto",
-                 **hyper):
-        cfg = config or self.config_cls()
-        if hyper:
-            cfg = cfg.replace(**hyper)
-        if cfg.tensorboard_log and tensorboard_log is None:
-            tensorboard_log = cfg.tensorboard_log
-        self.cfg = cfg
-        if seed is None:
-            seed = cfg.seed
-        super().__init__(policy, env, n_envs=n_envs, seed=seed, verbose=verbose,
-                         tensorboard_log=tensorboard_log, device=device)
 
     # ------------------------------------------------------------------
     def _setup_model(self) -> None:
@@ -129,7 +111,9 @@ class SAC(OffPolicyAlgorithm):
         mean, log_std = self.actor.apply(state.actor_params, obs)
         actions_pi, log_prob = squashed_sample_and_log_prob(k_pi, mean, log_std)
 
-        # 1) entropy coefficient
+        # 1) entropy coefficient — SB3 snapshots ent_coef from the
+        # PRE-update log-alpha (exp(log_ent_coef.detach()), sac.py:215-218);
+        # the alpha optimizer step below does not feed this gradient step
         ent_coef = jnp.exp(state.log_ent_coef)
         if self.auto_ent:
             def ent_loss_fn(log_alpha):
@@ -143,7 +127,6 @@ class SAC(OffPolicyAlgorithm):
             log_ent_coef = jnp.where(should_train, new_log_alpha,
                                      state.log_ent_coef)
             ent_opt = self._masked_apply(should_train, ent_opt, state.ent_opt)
-            ent_coef = jnp.exp(log_ent_coef)
         else:
             ent_loss = jnp.zeros(())
             log_ent_coef, ent_opt = state.log_ent_coef, state.ent_opt
@@ -227,9 +210,7 @@ class SAC(OffPolicyAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self.config_cls(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in payload["config"].items()})
+        self.cfg = self._config_from_dict(payload["config"])
         self._setup_model()
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
         self._state = self._state.replace(

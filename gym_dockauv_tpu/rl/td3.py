@@ -11,8 +11,6 @@ no in-graph equivalent; step-based scheduling is the documented substitute).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import optax
@@ -43,23 +41,10 @@ class TD3State:
 
 class TD3(OffPolicyAlgorithm):
     config_cls = TD3Config
-    n_critics = 2
 
-    def __init__(self, policy: str = "MlpPolicy", env=None,
-                 config: Optional[TD3Config] = None, n_envs: Optional[int] = None,
-                 seed: Optional[int] = None, verbose: int = 0,
-                 tensorboard_log: Optional[str] = None, device: str = "auto",
-                 **hyper):
-        cfg = config or self.config_cls()
-        if hyper:
-            cfg = cfg.replace(**hyper)
-        if cfg.tensorboard_log and tensorboard_log is None:
-            tensorboard_log = cfg.tensorboard_log
-        self.cfg = cfg
-        if seed is None:
-            seed = cfg.seed
-        super().__init__(policy, env, n_envs=n_envs, seed=seed, verbose=verbose,
-                         tensorboard_log=tensorboard_log, device=device)
+    @property
+    def n_critics(self) -> int:
+        return int(getattr(self.cfg, "n_critics", 2))
 
     def _setup_model(self) -> None:
         cfg = self.cfg
@@ -183,9 +168,7 @@ class TD3(OffPolicyAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self.config_cls(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in payload["config"].items()})
+        self.cfg = self._config_from_dict(payload["config"])
         self._setup_model()
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
         self._state = self._state.replace(

@@ -94,14 +94,15 @@ def test_sac_critic_target_matches_manual():
     k_pi, k_next = jax.random.split(key)
     mean, log_std = m.actor.apply(st.actor_params, jnp.asarray(obs))
     _, log_prob = squashed_sample_and_log_prob(k_pi, mean, log_std)
-    # ent coef after its own update (order: ent -> critic, sac.py:215-251)
+    # log-alpha IS optimized this step...
     ent_grad = -np.mean(np.asarray(log_prob) + m.target_entropy)
     lr = float(m.cfg.learning_rate)
-    # fresh Adam step with grad g: update = -lr * g / (sqrt(g^2) + eps)
     new_log_alpha = float(st.log_ent_coef) - lr * np.sign(ent_grad)
     np.testing.assert_allclose(float(new_st.log_ent_coef), new_log_alpha,
                                rtol=1e-3)
-    ent_coef = np.exp(new_log_alpha)
+    # ...but the critic/actor losses use the PRE-update snapshot
+    # (SB3: ent_coef = exp(log_ent_coef.detach()) before the alpha step)
+    ent_coef = np.exp(float(st.log_ent_coef))
     nmean, nlog_std = m.actor.apply(st.actor_params, jnp.asarray(next_obs))
     next_a, next_logp = squashed_sample_and_log_prob(k_next, nmean, nlog_std)
     q1t, q2t = m.critic.apply(st.critic_target_params, jnp.asarray(next_obs),

@@ -1,0 +1,108 @@
+"""Regression tests for review findings on the RL layer."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_dockauv_tpu.rl import DDPG, DQN, PPO, SAC
+from gym_dockauv_tpu.rl.common import linear_schedule
+
+ENV = "SimpleDocking3d-v0"
+ENV2 = "ObstaclesDocking3d-v0"
+
+
+def test_set_env_refreshes_state_and_bounds():
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0)
+    m.learn(total_timesteps=16)
+    old_goal = np.asarray(m._state.env_states.goal)
+    m.set_env(ENV2)
+    # fresh env states sampled from the NEW scenario: obstacles now valid
+    assert np.asarray(m._state.env_states.cap_valid).any()
+    assert m.env_id == ENV2
+    m.learn(total_timesteps=16, reset_num_timesteps=False)  # recompiles fine
+    del old_goal
+
+
+def test_set_env_rejects_mismatched_spaces():
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0)
+    with pytest.raises(AssertionError):
+        m.set_env("SimpleDocking3d_remus-v0")  # 3 actions vs 6
+
+
+def test_reset_num_timesteps_redoes_warmup():
+    m = SAC(env=ENV, n_envs=2, learning_starts=8, buffer_size=256,
+            batch_size=16, seed=0)
+    m.learn(total_timesteps=32)
+    assert int(m._state.num_ts) == 32
+    m.learn(total_timesteps=16, reset_num_timesteps=True)
+    # device counter followed the host reset: 16 steps, not 48
+    assert int(m._state.num_ts) == 16 and m.num_timesteps == 16
+
+
+def test_save_load_with_schedule_callable(tmp_path):
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0,
+            learning_rate=linear_schedule(3e-4))
+    m.learn(total_timesteps=16)
+    path = str(tmp_path / "sched_model")
+    m.save(path)  # cloudpickle handles the closure
+    m2 = PPO.load(path)
+    assert callable(m2.cfg.learning_rate)
+    obs = np.zeros(36, np.float32)
+    a1, _ = m.predict(obs, deterministic=True)
+    a2, _ = m2.predict(obs, deterministic=True)
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)
+
+
+def test_dqn_predict_follows_annealed_epsilon():
+    m = DQN(env=ENV, n_envs=2, learning_starts=4, buffer_size=128,
+            batch_size=8, exploration_fraction=0.5, seed=0)
+    obs = np.zeros(36, np.float32)
+    m._state = m._state.replace(exploration_rate=jnp.asarray(1.0))
+    acts_hi = {tuple(m.predict(obs, deterministic=False)[0])
+               for _ in range(30)}
+    m._state = m._state.replace(exploration_rate=jnp.asarray(0.0))
+    acts_lo = {tuple(m.predict(obs, deterministic=False)[0])
+               for _ in range(30)}
+    assert len(acts_hi) > 1, "eps=1.0 must explore"
+    assert len(acts_lo) == 1, "eps=0.0 must be greedy (not a baked-in eps)"
+
+
+def test_dqn_target_refresh_per_cycle_with_jit_iters():
+    # interval=8, n_envs=2, train_freq=4 -> one crossing per cycle; with
+    # jit_iters=4 the target must absorb FOUR refreshes, tracking params
+    m = DQN(env=ENV, n_envs=2, learning_starts=0, buffer_size=128,
+            batch_size=8, train_freq=4, target_update_interval=8,
+            jit_iters=4, tau=1.0, seed=0)
+    m.learn(total_timesteps=32)  # one iteration = 4 cycles = 32 steps
+    # after the last cycle's refresh, target == params of that moment; with
+    # per-iteration refresh it would equal a single stale snapshot.  We can
+    # at least assert the target moved away from init and is finite.
+    t0 = jax.tree_util.tree_leaves(m._state.target_params)[0]
+    p0 = jax.tree_util.tree_leaves(m._state.params)[0]
+    assert np.all(np.isfinite(np.asarray(t0)))
+    # tau=1.0 & a crossing in the final cycle => target tracks recent params
+    np.testing.assert_allclose(np.asarray(t0), np.asarray(p0), atol=2e-2)
+
+
+def test_ddpg_n_critics_config_honored():
+    d = DDPG(env=ENV, n_envs=1, seed=0)
+    assert d.n_critics == 1
+    d2 = DDPG(env=ENV, n_envs=1, seed=0,
+              config=d.cfg.replace(n_critics=2))
+    assert d2.n_critics == 2
+    from gym_dockauv_tpu.rl.networks import TwinQCritic
+
+    assert isinstance(d2.critic, TwinQCritic)
+
+
+def test_eval_cache_reused():
+    from gym_dockauv_tpu.rl.evaluation import evaluate_policy
+
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0)
+    evaluate_policy(m, n_eval_episodes=2, seed=0)
+    assert len(m._eval_cache) == 1
+    evaluate_policy(m, n_eval_episodes=2, seed=1)
+    assert len(m._eval_cache) == 1  # same compiled fn reused
+    evaluate_policy(m, n_eval_episodes=3, seed=0)
+    assert len(m._eval_cache) == 2
