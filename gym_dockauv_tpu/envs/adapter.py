@@ -99,6 +99,13 @@ class GymDockingEnv:
         if seed is not None:
             self._key = jax.random.PRNGKey(seed)
         self._key, sub = jax.random.split(self._key)
+        # close any live animation: the new episode has fresh goal/obstacles
+        # (reference docking3d.py:242-246)
+        if self.episode_animation is not None:
+            self.episode_animation.close()
+            self.episode_animation = None
+        if hasattr(self, "_render_traj"):
+            del self._render_traj
         self._state, obs = self._reset_fn(sub, self._episode)
         self._episode = int(self._state.episode)
         info, self.last_info = self.last_info, {}
@@ -165,21 +172,28 @@ class VecDockingEnv:
         assert self._state is not None, "call reset() first"
         self._state, res = self._step_fn(self._state, jnp.asarray(actions))
         dones = np.asarray(res.done)
-        infos: List[Dict[str, Any]] = []
-        # Host-side info materialization (only cheap scalars + terminal obs)
+        # one host transfer per field, then cheap numpy indexing in the loop
         info = res.info
+        ep_no = np.asarray(info.episode_number)
+        delta_d = np.asarray(info.delta_d)
+        collision = np.asarray(info.collision)
+        goal = np.asarray(info.goal_reached)
+        cum_r = np.asarray(info.cumulative_reward)
+        t_step = np.asarray(info.t_step)
+        term_obs = np.asarray(info.terminal_observation) if dones.any() else None
+        infos: List[Dict[str, Any]] = []
         for i in range(self.num_envs):
             d: Dict[str, Any] = {
-                "episode_number": int(info.episode_number[i]),
-                "delta_d": float(info.delta_d[i]),
-                "collision": bool(info.collision[i]),
-                "goal_reached": bool(info.goal_reached[i]),
+                "episode_number": int(ep_no[i]),
+                "delta_d": float(delta_d[i]),
+                "collision": bool(collision[i]),
+                "goal_reached": bool(goal[i]),
             }
             if dones[i]:
-                d["terminal_observation"] = np.asarray(info.terminal_observation[i])
+                d["terminal_observation"] = term_obs[i]
                 d["episode"] = {  # SB3 Monitor-style episode record
-                    "r": float(info.cumulative_reward[i]),
-                    "l": int(info.t_step[i]),
+                    "r": float(cum_r[i]),
+                    "l": int(t_step[i]),
                 }
             infos.append(d)
         return np.asarray(res.obs), np.asarray(res.reward), dones, infos

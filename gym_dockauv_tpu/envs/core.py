@@ -78,7 +78,9 @@ def log_precision(x, x_goal, x_max):
 
 
 def disc_goal_constraints(x, x_des, perc=0.2):
-    """Discrete goal-constraint bonus (docking3d.py:738-752)."""
+    """Discrete goal-constraint bonus (docking3d.py:738-752).  Unused by the
+    active reward path — kept (like the reference keeps it) as part of the
+    reward library surface; covered by a unit test."""
     x_des = x_des - x_des * perc
     return x_des / jnp.maximum(x_des, x) + (x < x_des)
 
@@ -234,17 +236,21 @@ class DockingEnv:
                 current_scale=jnp.asarray(self.current_scale, self.dtype),
             )
             return cur.nu_c_from_position(p, attitude, position)
-        vel_ned = jnp.stack(
-            [
-                v_c * jnp.cos(alpha) * jnp.cos(beta),
-                v_c * jnp.sin(beta),
-                v_c * jnp.sin(alpha) * jnp.cos(beta),
-            ]
+        gm = cur.CurrentParams(
+            mu=jnp.asarray(self.cur_mu, self.dtype),
+            v_min=jnp.asarray(0.0, self.dtype),
+            v_max=jnp.asarray(0.0, self.dtype),
+            alpha=alpha, beta=beta,
+            white_noise_std=jnp.asarray(self.cur_noise_std, self.dtype),
+            current_scale=jnp.asarray(self.current_scale, self.dtype),
         )
-        return cur.nu_c_body(attitude, vel_ned)
+        return cur.nu_c_body(attitude, cur.current_ned(gm, v_c))
 
-    def _radar_distances(self, state: EnvState, eta: jnp.ndarray) -> jnp.ndarray:
-        """Clamped per-ray hit distances (docking3d.py:360-362, :427-454)."""
+    def _cast_rays(self, state: EnvState, eta: jnp.ndarray):
+        """Shared hit pipeline: (NED ray dirs (R,3), clamped distances (R,)).
+
+        fused min-positive + clamp (== min_positive then clamp_intersections;
+        the gather-free form is ~26x faster on TPU, see ops/rays.py)."""
         rd_n = rad.ray_directions_ned(self.fan, eta[3:6])
         origin = jnp.broadcast_to(eta[0:3], rd_n.shape)
         d_caps = rays.ray_capsule(
@@ -253,10 +259,13 @@ class DockingEnv:
         d_sph = rays.ray_sphere(
             origin, rd_n, state.sph_c, state.sph_r, valid=state.sph_valid
         )  # (R, S)
-        # fused min-positive + clamp (== min_positive then clamp_intersections;
-        # the gather-free form is ~26x faster on TPU, see ops/rays.py)
-        return rays.nearest_hit_clamped(
+        dist = rays.nearest_hit_clamped(
             jnp.concatenate([d_caps, d_sph], axis=-1), self.fan.max_dist)
+        return rd_n, dist
+
+    def _radar_distances(self, state: EnvState, eta: jnp.ndarray) -> jnp.ndarray:
+        """Clamped per-ray hit distances (docking3d.py:360-362, :427-454)."""
+        return self._cast_rays(state, eta)[1]
 
     def _collision(self, state: EnvState, position: jnp.ndarray) -> jnp.ndarray:
         safety = jnp.asarray(self.config.safety_radius, self.dtype)
@@ -473,14 +482,7 @@ class DockingEnv:
         recomputed on demand for rendering/storage (the hot step path never
         materializes end points; reference keeps them live, sensor.py:104-120)."""
         eta = state.vehicle[0:6]
-        rd_n = rad.ray_directions_ned(self.fan, eta[3:6])
-        origin = jnp.broadcast_to(eta[0:3], rd_n.shape)
-        d_caps = rays.ray_capsule(origin, rd_n, state.cap_a, state.cap_b,
-                                  state.cap_r, valid=state.cap_valid)
-        d_sph = rays.ray_sphere(origin, rd_n, state.sph_c, state.sph_r,
-                                valid=state.sph_valid)
-        dist = rays.nearest_hit_clamped(
-            jnp.concatenate([d_caps, d_sph], axis=-1), self.fan.max_dist)
+        rd_n, dist = self._cast_rays(state, eta)
         return eta[0:3], eta[0:3] + rd_n * dist[:, None]
 
     def step_autoreset(self, state: EnvState, action: jnp.ndarray) -> Tuple[EnvState, StepResult]:

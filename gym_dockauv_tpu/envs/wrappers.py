@@ -262,9 +262,7 @@ class VideoRecorder:
 
         storage = self.env.episode_data_storage
         self.env.episode_data_storage = None
-        storage.storage = storage.storage or {}
-        for k, arr in storage._arrays.items():
-            storage.storage[k] = arr.get_data()
+        storage.finalize()
         path = os.path.join(self.video_folder,
                             f"{self.name_prefix}-episode-{self.episode_id}")
         out = EpisodeVisualization(storage).plot_episode_animation(

@@ -84,8 +84,11 @@ class EpisodeDataStorage:
 
         core = env.core
         state = env.state
-        self._radar_fn = getattr(self, "_radar_fn", None) or jax.jit(
-            core.radar_snapshot)
+        # the compiled snapshot is cached on the env so per-episode storage
+        # instances (e.g. VideoRecorder) never retrigger XLA compilation
+        if getattr(env, "_radar_fn", None) is None:
+            env._radar_fn = jax.jit(core.radar_snapshot)
+        self._radar_fn = env._radar_fn
         n_rays = core.fan.n_rays
         self._arrays = {
             "states": ArrayList(12),
@@ -176,12 +179,17 @@ class EpisodeDataStorage:
             path_folder,
             f"{s['utc_start']}__{title}__EPISODE_{s['episode']}{proc}__.pkl")
 
-    def save(self, file_name: Optional[str] = None,
-             path_folder: Optional[str] = None,
-             index: Optional[int] = None) -> str:
+    def finalize(self) -> None:
+        """Materialize the live capture arrays into the storage dict (also
+        used by VideoRecorder before rendering an unsaved episode)."""
         assert self.storage is not None, "nothing recorded"
         for k, arr in self._arrays.items():
             self.storage[k] = arr.get_data()
+
+    def save(self, file_name: Optional[str] = None,
+             path_folder: Optional[str] = None,
+             index: Optional[int] = None) -> str:
+        self.finalize()
         if file_name is None:
             path_folder = path_folder or os.getcwd()
             os.makedirs(path_folder, exist_ok=True)

@@ -263,8 +263,12 @@ class EpisodeVisualization:
             goal=self.st.storage.get("goal_location"),
             title=self.st.storage.get("title", ""))
         anim.add_episode_text(self.st.storage.get("episode", 0))
-        radar_pos = self.st.storage.get("radar_pos")
-        radar_end = self.st.storage.get("radar_end_pos")
+        # _get falls back to the live capture arrays for unsaved storages
+        try:
+            radar_pos = self.st._get("radar_pos")
+            radar_end = self.st._get("radar_end_pos")
+        except KeyError:
+            radar_pos = radar_end = None
         if save_path:
             out = anim.save_animation(self.st.positions, self.st.attitudes,
                                       save_path, radar_pos, radar_end, fps)

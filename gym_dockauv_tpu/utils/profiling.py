@@ -19,7 +19,7 @@ import jax
 
 
 @contextlib.contextmanager
-def trace(log_dir: str = "/tmp/jax-trace", host_tracer_level: int = 2):
+def trace(log_dir: str = "/tmp/jax-trace"):
     """Profile a block: `with trace('logs/trace'): model.learn(...)`."""
     jax.profiler.start_trace(log_dir)
     try:

@@ -189,3 +189,22 @@ def test_episode_counter_increments_on_autoreset():
     assert int(state.t_steps) == 0
     assert np.all(np.asarray(res.obs) == 0)
     assert np.asarray(res.info.terminal_observation).shape == (36,)
+
+
+def test_disc_goal_constraints_matches_reference():
+    """Parity for the (inactive) discrete goal-constraint bonus
+    (docking3d.py:738-752)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gym_dockauv_tpu.envs.core import disc_goal_constraints
+    from .reference_oracle import load_reference
+
+    load_reference()
+    from gym_dockauv.envs.docking3d import Reward
+
+    for x, x_des in [(0.1, 0.5), (0.5, 0.5), (2.0, 0.5), (0.39, 0.5)]:
+        ours = float(disc_goal_constraints(jnp.asarray(x), jnp.asarray(x_des)))
+        ref = float(Reward.disc_goal_constraints(np.asarray([x]),
+                                                np.asarray([x_des]))[0])
+        np.testing.assert_allclose(ours, ref, rtol=1e-9)
