@@ -208,3 +208,58 @@ def test_disc_goal_constraints_matches_reference():
         ref = float(Reward.disc_goal_constraints(np.asarray([x]),
                                                 np.asarray([x_des]))[0])
         np.testing.assert_allclose(ours, ref, rtol=1e-9)
+
+
+def test_reward_set2_env_parity(tmp_path):
+    """The cont_goal_constraints reward path (reward_set=2,
+    docking3d.py:560-607 alternate branch)."""
+    cfg = copy.deepcopy(REF_BASE)
+    cfg["save_path_folder"] = str(tmp_path)
+    cfg["verbose"] = 0
+    cfg["interval_datastorage"] = 10**9
+    cfg["reward_set"] = 2
+    ref = ref_dock.CapsuleDocking3d(cfg)
+    ref.reset(seed=11)
+    env = DockingEnv(TRAIN_CONFIG().replace(reward_set=2),
+                     family="bluerov", kind="Capsule", dtype=jnp.float64)
+    _drive_parity(ref, env, 80, lambda rng: rng.uniform(-1, 1, 6),
+                  obs_atol=2e-6)
+
+
+def test_lauv_env_parity(tmp_path):
+    """LAUV as the configured vehicle (env_config.py:54 vehicle knob;
+    LAUV.py fin-steered dynamics inside the full env loop)."""
+    cfg = copy.deepcopy(REF_BASE)
+    cfg["save_path_folder"] = str(tmp_path)
+    cfg["verbose"] = 0
+    cfg["interval_datastorage"] = 10**9
+    cfg["vehicle"] = "LAUV"
+    ref = ref_dock.SimpleDocking3d(cfg)
+    ref.reset(seed=5)
+    env = DockingEnv(TRAIN_CONFIG().replace(vehicle="LAUV"),
+                     family="bluerov", kind="Simple", dtype=jnp.float64)
+    assert env.n_actions == 3
+
+    def action(rng):
+        return rng.uniform(-1, -0.6, 3)
+
+    # The LAUV model as parameterized in the reference is numerically
+    # unstable from the env's random spawn attitudes: by the 3rd step BOTH
+    # implementations overflow with bit-identical kinetics (presumably why
+    # the reference registers no LAUV env).  Env-wiring parity is checked on
+    # the finite prefix; deep dynamics parity lives in
+    # test_trajectory_parity_lauv.
+    _drive_parity(ref, env, 2, action, obs_atol=2e-6)
+
+
+def test_bluerov2_direct_mode_b_matrix():
+    """8-thruster mixing matrix parity (BlueROV2.py:53-72 'direct' mode)."""
+    from gym_dockauv_tpu.dynamics.vehicles import build_bluerov2
+    from gym_dockauv.objects.vehicles.BlueROV2 import BlueROV2 as RefBlueROV2
+
+    ours = build_bluerov2(control_mode="direct", dtype=jnp.float64)
+    ref = RefBlueROV2(control_mode="direct")
+    np.testing.assert_allclose(np.asarray(ours.b0),
+                               np.asarray(ref.B(np.zeros(6))), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(ours.u_bound),
+                               np.asarray(ref.u_bound), rtol=1e-12)
