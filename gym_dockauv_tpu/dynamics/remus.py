@@ -125,7 +125,6 @@ def build_remus_params(dtype=jnp.float32, n_substeps: int = 5, sub_dt: float = 0
     w_roll = math.sqrt(w * r_bg[2] / m_total[3, 3])
     w_pitch = math.sqrt(w * r_bg[2] / m_total[4, 4])
     t_surge = t_sway = t_heave = 20.0
-    t_heave = t_sway
     d_diag = np.array(
         [
             m_total[0, 0] / t_surge,

@@ -101,9 +101,13 @@ def ray_capsule(
 
     # End caps: pick the near (y<=0) or far (y>=0) sphere center.  The
     # reference writes oa first then overwrites with (l1-cap2) for y>=0, so
-    # y==0 resolves to the far end; replicate with a >=0 select.
+    # y==0 resolves to the far end; replicate with a >=0 select.  For
+    # axis-parallel rays (a == 0) the reference's t is +-inf (or NaN when
+    # the numerator is 0), so its y-sign comes from sign((-b-sqrt_h)*bard)
+    # with NaN comparing False — replicated via the guarded selector.
     ob = origin[..., :, None, :] - cap_b[..., None, :, :]
-    oc = jnp.where((y >= 0.0)[..., None], ob, oa)
+    y_sel = jnp.where(div_ok, y >= 0.0, (-b - sqrt_h) * bard > 0.0)
+    oc = jnp.where(y_sel[..., None], ob, oa)
     b2 = jnp.sum(rd * oc, axis=-1)
     c2 = jnp.sum(oc * oc, axis=-1) - rad2
     h2 = b2 * b2 - c2
@@ -138,9 +142,12 @@ def min_positive(dist: jnp.ndarray, axis: int = -1) -> jnp.ndarray:
 
 def nearest_hit_clamped(dist: jnp.ndarray, max_dist, axis: int = -1) -> jnp.ndarray:
     """Fused min-positive + clamp: the nearest strictly-positive hit, with
-    misses and beyond-range hits mapped to max_dist.  Equals
-    clamp_intersections(min_positive(dist)) for every input (a pure
-    reduction — no gather, so it runs at VPU speed)."""
+    misses and beyond-range hits mapped to max_dist.  Post-clamp-equivalent
+    to clamp_intersections(min_positive(dist)) for the env's candidate sets
+    (capsule candidates map exact-0 to the -inf default per the reference's
+    res==0 rule, and min_positive's no-hit fallback lands on a non-positive
+    value, which clamps to max_dist either way).  A pure reduction — no
+    gather, so it runs at VPU speed."""
     masked = jnp.where(dist > 0.0, dist, jnp.inf)
     m = jnp.min(masked, axis=axis)
     return jnp.where(m > max_dist, max_dist, m)
@@ -155,12 +162,14 @@ def dist_segment_point(
     Degenerate (zero-length, e.g. padded) segments are guarded: the result
     is the point-to-l1 distance instead of NaN."""
     n = jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
+    degenerate = n[..., 0] == 0.0
     d = (l2 - l1) / jnp.where(n == 0.0, 1.0, n)
     s = jnp.sum((l1 - po) * d, axis=-1)
     t = jnp.sum((po - l2) * d, axis=-1)
     h = jnp.maximum(jnp.maximum(s, t), 0.0)
     c = jnp.cross(po - l1, d)
-    return jnp.hypot(h, jnp.linalg.norm(c, axis=-1))
+    dist = jnp.hypot(h, jnp.linalg.norm(c, axis=-1))
+    return jnp.where(degenerate, jnp.linalg.norm(po - l1, axis=-1), dist)
 
 
 def vec_line_point(po: jnp.ndarray, l1: jnp.ndarray, l2: jnp.ndarray) -> jnp.ndarray:

@@ -22,18 +22,29 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from .mesh import make_mesh
 
-try:  # JAX >= 0.4.35 exposes it at top level
-    from jax import shard_map as _shard_map_mod  # type: ignore
+def _resolve_shard_map():
+    """Top-level jax.shard_map when present (kwarg name changed from
+    check_rep to check_vma across versions — pick by signature), else the
+    jax.experimental fallback."""
+    import inspect
+
+    fn = getattr(jax, "shard_map", None)
+    if fn is None:
+        from jax.experimental.shard_map import shard_map as fn  # type: ignore
+    try:
+        params = inspect.signature(fn).parameters
+    except (TypeError, ValueError):
+        params = {}
+    kw = "check_vma" if "check_vma" in params else "check_rep"
 
     def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return jax.shard_map(f, mesh=mesh, in_specs=in_specs,
-                             out_specs=out_specs, check_vma=check_rep)
-except (ImportError, AttributeError, TypeError):
-    from jax.experimental.shard_map import shard_map as _sm
+        return fn(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
+                  **{kw: check_rep})
 
-    def shard_map(f, mesh, in_specs, out_specs, check_rep=False):
-        return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                   check_rep=check_rep)
+    return shard_map
+
+
+shard_map = _resolve_shard_map()
 
 
 # State fields sharded along the env axis; everything else is replicated.

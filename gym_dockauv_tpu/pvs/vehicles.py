@@ -63,11 +63,11 @@ def cross_flow_drag(length, draft, cd_2d, nu_r):
 
 
 def _h_mtrx(r):
-    """6x6 system transform H(r) (gnc.py:57-72)."""
-    h = np.identity(6)
-    h[0:3, 3:6] = np.array([[0, -r[2], r[1]], [r[2], 0, -r[0]],
-                            [-r[1], r[0], 0]]).T
-    return h
+    """6x6 system transform H(r) (gnc.py:57-72) — delegates to the shared
+    ops.geom._h_offset implementation."""
+    from ..ops.geom import _h_offset
+
+    return np.asarray(_h_offset(jnp.asarray(np.asarray(r, float))))
 
 
 def _current_nu(v_c, beta_c, psi):
@@ -283,7 +283,9 @@ class Tanker(Vehicle):
     def dynamics(self, eta, nu, u_actual, u_control, dt):
         h, L = self.depth, self.L
         delta_c = u_control[0]
-        delta = sat(u_actual[0], -self.delta_max, self.delta_max)
+        # the reference computes the force terms with the RAW stored rudder
+        # angle and saturates only before the rate limit (tanker.py:133,267)
+        delta = u_actual[0]
         n = self.n_c / 60.0
         r = nu[5]
         nu_r = nu - _current_nu(self.v_c, self.beta_c, eta[5])
@@ -342,6 +344,7 @@ class Tanker(Vehicle):
         nu_dot = jnp.zeros(6).at[0].set(gx / m11).at[1].set(gy / m22) \
             .at[5].set(gn / (L ** 2 * m33))
 
+        delta = sat(delta, -self.delta_max, self.delta_max)
         delta_dot = sat(delta_c - delta, -self.ddelta_max, self.ddelta_max)
         return nu + dt * nu_dot, jnp.atleast_1d(delta + dt * delta_dot)
 

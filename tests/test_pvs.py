@@ -167,3 +167,35 @@ def test_simulate_plot(tmp_path):
     import os
 
     assert os.path.exists(out)
+
+
+def test_tanker_saturation_regime_parity():
+    """Force the rudder past deltaMax: the reference computes forces with
+    the RAW stored angle and saturates only before the rate limit
+    (tanker.py:133,267-272) — drive both dynamics there directly."""
+    load_reference()
+    import jax.numpy as jnp
+    from python_vehicle_simulator.vehicles.tanker import tanker as RefTanker
+    from python_vehicle_simulator.lib.gnc import attitudeEuler
+
+    from gym_dockauv_tpu.pvs.sim import attitude_euler
+
+    ref = RefTanker()
+    ours = pvs.Tanker()
+    eta = np.zeros(6)
+    nu = np.asarray(ref.nu).copy()
+    ua = np.asarray(ref.u_actual).copy()
+    eta_j, nu_j, ua_j = jnp.zeros(6), jnp.asarray(nu), jnp.asarray(ua)
+    dt = 0.2
+    u_cmd = np.array([np.deg2rad(45.0)])  # far beyond deltaMax = 30 deg
+    saturated_steps = 0
+    for _ in range(120):
+        nu, ua = ref.dynamics(eta, nu, ua, u_cmd, dt)
+        eta = attitudeEuler(eta, nu, dt)
+        nu_j, ua_j = ours.dynamics(eta_j, nu_j, ua_j, jnp.asarray(u_cmd), dt)
+        eta_j = attitude_euler(eta_j, nu_j, dt)
+        saturated_steps += int(abs(ua[0]) > np.deg2rad(30.0) - 1e-9)
+    assert saturated_steps > 50, "drive did not reach the saturation regime"
+    np.testing.assert_allclose(np.asarray(nu_j), nu, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(ua_j), ua, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(eta_j), eta, rtol=1e-9, atol=1e-12)
