@@ -242,6 +242,12 @@ class BaseAlgorithm:
 
     @classmethod
     def load(cls, path: str, env=None, n_envs: Optional[int] = None, **kwargs):
+        """Rebuild from a save() snapshot.  Hyper-parameter kwargs OVERRIDE
+        the pickled config (SB3 load semantics — custom kwargs win): the
+        model is constructed with the merged config, then the saved params
+        are applied on top."""
+        import dataclasses as _dc
+
         for candidate in (path, path + ".zip", path + ".pkl"):
             try:
                 with open(candidate, "rb") as f:
@@ -253,11 +259,30 @@ class BaseAlgorithm:
             raise FileNotFoundError(path)
         if env is None:
             env = payload["env_id"]
-        model = cls(env=env, n_envs=n_envs or payload.get("n_envs"),
-                    seed=payload.get("seed"), **kwargs)
+            if env is None:
+                raise ValueError(
+                    "checkpoint has no env_id (trained on a bare DockingEnv)"
+                    " — pass env= explicitly")
+        cfg_fields = {f.name for f in _dc.fields(cls.config_cls)}
+        hyper = {k: kwargs.pop(k) for k in list(kwargs) if k in cfg_fields}
+        model = cls.__new__(cls)
+        saved_cfg = cls.config_cls(**{
+            k: tuple(v) if isinstance(v, list) else v
+            for k, v in payload["config"].items()}) if "config" in payload \
+            else cls.config_cls()
+        if hyper:
+            saved_cfg = saved_cfg.replace(**hyper)
+        model._pre_load(payload)
+        BaseAlgorithm.__init__(model, env=env, config=saved_cfg,
+                               n_envs=n_envs or payload.get("n_envs"),
+                               seed=payload.get("seed"), **kwargs)
         model.num_timesteps = payload.get("num_timesteps", 0)
         model._load_payload(payload)
         return model
+
+    def _pre_load(self, payload: Dict[str, Any]) -> None:
+        """Hook for state a subclass needs BEFORE __init__/_setup_model
+        (e.g. DQN's action table)."""
 
     # -- data-parallel helpers (used when axis_name is set) -----------------
     def _pmean(self, tree):

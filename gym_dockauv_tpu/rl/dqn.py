@@ -59,11 +59,15 @@ def default_discrete_actions(low: np.ndarray, high: np.ndarray) -> np.ndarray:
 
 class DQN(OffPolicyAlgorithm):
     config_cls = DQNConfig
+    _discrete_actions_in: Optional[np.ndarray] = None
 
     def __init__(self, policy: str = "MlpPolicy", env=None,
                  discrete_actions: Optional[np.ndarray] = None, **kwargs):
         self._discrete_actions_in = discrete_actions
         super().__init__(policy, env, **kwargs)
+
+    def _pre_load(self, payload):
+        self._discrete_actions_in = np.asarray(payload["action_table"])
 
     def _setup_model(self) -> None:
         cfg = self.cfg
@@ -192,9 +196,6 @@ class DQN(OffPolicyAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self._config_from_dict(payload["config"])
-        self._discrete_actions_in = np.asarray(payload["action_table"])
-        self._setup_model()
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
         self._state = self._state.replace(
             params=as_jnp(payload["params"]),

@@ -254,8 +254,6 @@ class PPO(BaseAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self._config_from_dict(payload["config"])
-        self._setup_model()
         self._state = self._state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, payload["params"]))
         if payload.get("opt_state") is not None:

@@ -210,8 +210,6 @@ class SAC(OffPolicyAlgorithm):
                 "config": dataclasses.asdict(self.cfg)}
 
     def _load_payload(self, payload):
-        self.cfg = self._config_from_dict(payload["config"])
-        self._setup_model()
         as_jnp = lambda t: jax.tree_util.tree_map(jnp.asarray, t)  # noqa: E731
         self._state = self._state.replace(
             actor_params=as_jnp(payload["actor_params"]),

@@ -64,16 +64,15 @@ def train(gym_env: str,
     hyper.pop("device", None)  # torch knob; JAX picks the backend
     os.makedirs(os.path.dirname(model_save_path) or ".", exist_ok=True)
 
+    # build the (possibly custom-configured) env up front so env_id is
+    # preserved through save()/load()
+    env_obj = make_gym(gym_env, env_config) if env_config is not None else gym_env
     if model_load_path is not None:
-        model = MODEL.load(model_load_path, env=gym_env, n_envs=vector_env,
+        model = MODEL.load(model_load_path, env=env_obj, n_envs=vector_env,
                            verbose=verbose, **hyper)
     else:
-        model = MODEL(env=gym_env, n_envs=vector_env, seed=seed,
+        model = MODEL(env=env_obj, n_envs=vector_env, seed=seed,
                       verbose=verbose, **hyper)
-    if env_config is not None:
-        # env built from id uses TRAIN defaults; explicit config overrides
-        from .envs.core import make_env as _mk
-        model.set_env(_mk(gym_env, env_config), n_envs=vector_env)
 
     if shard:
         from .parallel import shard_algorithm
@@ -86,7 +85,7 @@ def train(gym_env: str,
     model.full_data_storage = fds
 
     chunk = timesteps_per_save or total_timesteps
-    elapsed = 0
+    elapsed = model.num_timesteps  # resumed checkpoints count toward total
     start = timer()
     while elapsed < total_timesteps:
         n = min(chunk, total_timesteps - elapsed)
@@ -166,7 +165,7 @@ def post_analysis_directory(directory: str, show_full: bool = True,
     return produced
 
 
-# WASD-style 6-axis key map (train.py:240-245)
+# WASD-style 6-axis key map (train.py:240-245) for the BlueROV2 family
 KEY_ACTION_MAP = {
     "w": (0, +1.0), "s": (0, -1.0),   # surge
     "a": (1, -1.0), "d": (1, +1.0),   # sway
@@ -174,6 +173,12 @@ KEY_ACTION_MAP = {
     "j": (5, -1.0), "l": (5, +1.0),   # yaw
     "i": (4, -1.0), "k": (4, +1.0),   # pitch
     "u": (3, -1.0), "o": (3, +1.0),   # roll
+}
+# REMUS layout: 3 actions = (tail rudder, stern plane, propeller rpm)
+KEY_ACTION_MAP_REMUS = {
+    "a": (0, -1.0), "d": (0, +1.0),   # rudder
+    "w": (1, -1.0), "s": (1, +1.0),   # stern plane
+    "e": (2, +1.0), "q": (2, -1.0),   # throttle
 }
 
 
@@ -186,6 +191,7 @@ def manual_control(gym_env: str, env_config: Optional[EnvConfig] = None,
     cfg = env_config or MANUAL_CONFIG()
     env = make_gym(gym_env, cfg)
     n_act = env.core.n_actions
+    key_map = KEY_ACTION_MAP_REMUS if n_act == 3 else KEY_ACTION_MAP
 
     if action_source is None:
         try:
@@ -202,7 +208,7 @@ def manual_control(gym_env: str, env_config: Optional[EnvConfig] = None,
             pygame.event.pump()
             pressed = pygame.key.get_pressed()
             act = np.zeros(n_act, np.float32)
-            for k, (idx, val) in KEY_ACTION_MAP.items():
+            for k, (idx, val) in key_map.items():
                 if idx < n_act and pressed[pygame.key.key_code(k)]:
                     act[idx] = val
             return act
@@ -214,7 +220,12 @@ def manual_control(gym_env: str, env_config: Optional[EnvConfig] = None,
         while not done:
             action = np.asarray(action_source(step), np.float32)
             lo, hi = env.action_space.low, env.action_space.high
-            action = lo + (np.clip(action, -1, 1) + 1) / 2 * (hi - lo)
+            # neutral (no key) maps to null actuation: 0 where the bound
+            # straddles zero, else the lower bound (e.g. rpm in [0, 1500])
+            neutral = np.where((lo <= 0) & (hi >= 0), 0.0, lo)
+            a = np.clip(action, -1, 1)
+            action = np.where(a >= 0, neutral + a * (hi - neutral),
+                              neutral + a * (neutral - lo)).astype(np.float32)
             obs, r, done, info = env.step(action)
             total += r
             step += 1

@@ -21,6 +21,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from ..envs.core import N_REWARDS
+
 
 class ArrayList:
     """Growable 2-D array with amortized over-allocation
@@ -97,8 +99,8 @@ class EpisodeDataStorage:
             "nu_c": ArrayList(6),
             "radar_pos": ArrayList(3),
             "radar_end_pos": ArrayList((n_rays, 3)),
-            "cum_rewards": ArrayList(13),
-            "rewards": ArrayList(13),
+            "cum_rewards": ArrayList(N_REWARDS),
+            "rewards": ArrayList(N_REWARDS),
             "observation": ArrayList(core.n_observations),
         }
         self.storage = {
@@ -136,7 +138,7 @@ class EpisodeDataStorage:
         a["radar_end_pos"].add_row(np.asarray(end))
         a["cum_rewards"].add_row(np.asarray(state.cum_reward_arr))
         a["rewards"].add_row(np.asarray(env.last_info.get("reward_arr",
-                                                          np.zeros(13))))
+                                                          np.zeros(N_REWARDS))))
         a["observation"].add_row(np.asarray(getattr(env, "last_obs",
                                                     np.zeros(env.core.n_observations))))
 
@@ -271,7 +273,7 @@ class FullDataStorage:
     (datastorage.py:21-118)."""
 
     def __init__(self):
-        self.cum_rewards = ArrayList(13)
+        self.cum_rewards = ArrayList(N_REWARDS)
         self.infos: List[Dict[str, Any]] = []
         self.storage: Optional[Dict[str, Any]] = None
         self.path_folder = os.getcwd()

@@ -13,7 +13,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def check_env(env, warn: bool = True, skip_render_check: bool = True) -> None:
+def check_env(env, skip_render_check: bool = True) -> None:
     """Raises AssertionError on any conformance violation.  Accepts a
     GymDockingEnv adapter or a DockingEnv core."""
     from ..envs.adapter import GymDockingEnv

@@ -320,7 +320,11 @@ def plot_full_rewards(full_storage, show: bool = False,
 # -- reward landscape debug helpers (plotutils.py:574-624) ---------------------
 def plot_function2d(f, xlim, n=200, show=False, save_path=None, label="f"):
     x = np.linspace(*xlim, n)
-    y = np.asarray([float(f(xi)) for xi in x])
+    try:  # vectorized evaluation (jnp-based reward fns broadcast fine)
+        y = np.asarray(f(x), dtype=float)
+        assert y.shape == x.shape
+    except Exception:
+        y = np.asarray([float(f(xi)) for xi in x])
     fig, ax = plt.subplots()
     ax.plot(x, y)
     ax.set_xlabel("x")
@@ -339,7 +343,11 @@ def plot_function3d(f, xlim, ylim, n=60, show=False, save_path=None, label="f"):
     x = np.linspace(*xlim, n)
     y = np.linspace(*ylim, n)
     xx, yy = np.meshgrid(x, y)
-    zz = np.asarray([[float(f(xi, yi)) for xi in x] for yi in y])
+    try:  # one batched call instead of n*n scalar dispatches
+        zz = np.asarray(f(xx, yy), dtype=float)
+        assert zz.shape == xx.shape
+    except Exception:
+        zz = np.asarray([[float(f(xi, yi)) for xi in x] for yi in y])
     fig = plt.figure()
     ax = fig.add_subplot(projection="3d")
     ax.plot_surface(xx, yy, zz, cmap="viridis")
@@ -371,7 +379,8 @@ def render_env(env, rotate_cam: bool = False, real_time: bool = False):
             title=env.env_id or "")
         env.episode_animation.add_episode_text(int(st.episode))
         env._render_traj = []
-        env._radar_fn = jax.jit(env.core.radar_snapshot)
+        if getattr(env, "_radar_fn", None) is None:  # shared compile cache
+            env._radar_fn = jax.jit(env.core.radar_snapshot)
     st = env.state
     env._render_traj.append(
         (np.asarray(st.vehicle[0:3]), np.asarray(st.vehicle[3:6])))

@@ -5,7 +5,6 @@ import argparse
 import os
 
 from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG_REMUS
-from gym_dockauv_tpu.rl import PPO, SAC
 from gym_dockauv_tpu.train import train
 from main import MODELS, unique_run_dir
 

@@ -106,3 +106,50 @@ def test_eval_cache_reused():
     assert len(m._eval_cache) == 1  # same compiled fn reused
     evaluate_policy(m, n_eval_episodes=3, seed=0)
     assert len(m._eval_cache) == 2
+
+
+def test_load_applies_hyper_overrides_over_saved_config(tmp_path):
+    m = SAC(env=ENV, n_envs=2, learning_starts=8, buffer_size=256,
+            batch_size=16, learning_rate=3e-4, seed=0)
+    m.learn(total_timesteps=32)
+    path = str(tmp_path / "m")
+    m.save(path)
+    m2 = SAC.load(path, learning_rate=1e-3, batch_size=32)
+    assert m2.cfg.learning_rate == 1e-3 and m2.cfg.batch_size == 32
+    assert m2.cfg.buffer_size == 256  # non-overridden fields from the pickle
+    # saved actor params still restored under the overridden config
+    obs = np.zeros(36, np.float32)
+    a1, _ = m.predict(obs, deterministic=True)
+    a2, _ = m2.predict(obs, deterministic=True)
+    np.testing.assert_allclose(a1, a2, rtol=1e-6)
+
+
+def test_train_resume_counts_checkpoint_steps(tmp_path):
+    from gym_dockauv_tpu.train import train
+
+    train(ENV, total_timesteps=64, MODEL=PPO,
+          model_save_path=str(tmp_path / "model"),
+          agent_hyper_parameter=dict(n_steps=16, batch_size=32),
+          vector_env=2, seed=0, verbose=0)
+    # resume from the 64-step checkpoint with the same total: already done,
+    # so no further chunks are trained
+    m = train(ENV, total_timesteps=64, MODEL=PPO,
+              model_save_path=str(tmp_path / "model"),
+              agent_hyper_parameter=dict(n_steps=16, batch_size=32),
+              model_load_path=str(tmp_path / "model_64"),
+              vector_env=2, seed=0, verbose=0)
+    assert m.num_timesteps == 64
+
+
+def test_train_with_env_config_preserves_env_id(tmp_path):
+    from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG
+    from gym_dockauv_tpu.train import train
+
+    m = train(ENV, total_timesteps=32, MODEL=PPO,
+              model_save_path=str(tmp_path / "model"),
+              agent_hyper_parameter=dict(n_steps=16, batch_size=16),
+              env_config=TRAIN_CONFIG(), vector_env=1, seed=0, verbose=0)
+    assert m.env_id == ENV
+    # loadable WITHOUT an explicit env (env_id survived the custom config)
+    m2 = PPO.load(str(tmp_path / "model_32"))
+    assert m2.env_id == ENV
