@@ -28,7 +28,7 @@ PER_CHIP_BASELINE = 125_000.0  # 1M/s per 8-chip v5p host
 
 
 def build(n_envs: int, chunk: int):
-    core = make_env("ObstaclesDocking3d-v0")
+    core = make_env(os.environ.get("BENCH_ENV", "ObstaclesDocking3d-v0"))
     actor = SACActor(core.n_actions)
     key = jax.random.PRNGKey(0)
     params = actor.init(key, jnp.zeros((1, core.n_observations)))
