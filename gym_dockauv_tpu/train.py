@@ -165,6 +165,69 @@ def post_analysis_directory(directory: str, show_full: bool = True,
     return produced
 
 
+#: Default docking curriculum: shrink the goal tolerance toward the real
+#: 0.5 m (env_config.py:44).  The Capsule/Obstacles scenarios put the goal
+#: on the docking capsule's collision boundary, which vanilla training
+#: essentially never reaches (single-digit success); annealing the
+#: tolerance lifts CapsuleDocking3d to ~0.64 success at the true tolerance
+#: in ~26M steps (~7 min on one chip) — see docs/performance.md.
+DEFAULT_DOCKING_CURRICULUM = [
+    ({"dist_goal_reached_tol": 3.0}, 6_000_000),
+    ({"dist_goal_reached_tol": 1.5}, 6_000_000),
+    ({"dist_goal_reached_tol": 0.8}, 6_000_000),
+    ({}, 8_000_000),  # the scenario's real tolerance
+]
+
+
+def train_curriculum(gym_env: str,
+                     stages=None,
+                     MODEL: Type[BaseAlgorithm] = None,
+                     model_save_path: str = "logs/model_curriculum",
+                     agent_hyper_parameter: Optional[dict] = None,
+                     env_config: Optional[EnvConfig] = None,
+                     vector_env: int = 1024,
+                     seed: Optional[int] = None,
+                     verbose: int = 1) -> BaseAlgorithm:
+    """Staged training over progressively harder env configs.
+
+    Each stage is (EnvConfig override dict, steps); the learner carries its
+    parameters across stages via `set_env` (spaces must match).  This is an
+    addition over the reference (which trains each scenario flat); it exists
+    because the precision docking scenarios need tolerance annealing.
+    """
+    import numpy as _np
+
+    from .rl.ppo import PPO as _PPO
+
+    MODEL = MODEL or _PPO
+    stages = stages or DEFAULT_DOCKING_CURRICULUM
+    hyper = dict(agent_hyper_parameter or {})
+    hyper.pop("device", None)
+    base_cfg = env_config
+    model = None
+    for i, (overrides, steps) in enumerate(stages):
+        cfg = (base_cfg.replace(**overrides) if base_cfg is not None
+               else None)
+        if cfg is None and overrides:
+            from .config.env_config import TRAIN_CONFIG, TRAIN_CONFIG_REMUS
+
+            base = TRAIN_CONFIG_REMUS() if "_remus" in gym_env else TRAIN_CONFIG()
+            cfg = base.replace(**overrides)
+        env = make_gym(gym_env, cfg)
+        if model is None:
+            model = MODEL(env=env, n_envs=vector_env, seed=seed,
+                          verbose=verbose, **hyper)
+        else:
+            model.set_env(env)
+        model.learn(total_timesteps=steps, reset_num_timesteps=False)
+        if model.ep_info_buffer:
+            suc = float(_np.mean([e["goal"] for e in model.ep_info_buffer]))
+            logger.info("curriculum stage %d (%s): %d total steps, "
+                        "success %.2f", i, overrides, model.num_timesteps, suc)
+        model.save(f"{model_save_path}_stage{i}")
+    return model
+
+
 # WASD-style 6-axis key map (train.py:240-245) for the BlueROV2 family
 KEY_ACTION_MAP = {
     "w": (0, +1.0), "s": (0, -1.0),   # surge

@@ -264,3 +264,21 @@ def test_debug_stats_and_landscape(tmp_path):
     outs = debug.plot_reward_landscape(save_dir=str(tmp_path))
     for o in outs:
         assert os.path.exists(o)
+
+
+def test_train_curriculum_stages(tmp_path):
+    from gym_dockauv_tpu.train import train_curriculum
+
+    m = train_curriculum(
+        ENV,
+        stages=[({"dist_goal_reached_tol": 3.0}, 32), ({}, 32)],
+        MODEL=PPO,
+        model_save_path=str(tmp_path / "cur"),
+        agent_hyper_parameter=dict(n_steps=16, batch_size=32),
+        vector_env=2, seed=0, verbose=0)
+    assert m.num_timesteps == 64
+    # the final stage runs at the scenario's true tolerance
+    assert m.core.config.dist_goal_reached_tol == pytest.approx(0.5)
+    files = os.listdir(tmp_path)
+    assert any("cur_stage0" in f for f in files)
+    assert any("cur_stage1" in f for f in files)
