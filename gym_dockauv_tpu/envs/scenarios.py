@@ -16,7 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from ..config.env_config import EnvConfig
+from ..config.env_config import _KINDS, EnvConfig
 from ..ops import geom
 from ..ops.rays import vec_line_point
 
@@ -28,15 +28,8 @@ _RING_RADIUS = 1.0
 _RING_DISTANCE = 6.0
 _RING_COUNT = 4
 
-KINDS = (
-    "Simple",
-    "SimpleCurrent",
-    "Capsule",
-    "CapsuleCurrent",
-    "Obstacles",
-    "ObstaclesCurrent",
-    "ObstaclesNoCap",
-)
+# canonical scenario-kind tuple lives next to the registration dict
+KINDS = _KINDS
 
 
 class Scenario(NamedTuple):

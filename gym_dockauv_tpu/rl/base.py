@@ -266,23 +266,33 @@ class BaseAlgorithm:
         cfg_fields = {f.name for f in _dc.fields(cls.config_cls)}
         hyper = {k: kwargs.pop(k) for k in list(kwargs) if k in cfg_fields}
         model = cls.__new__(cls)
-        saved_cfg = cls.config_cls(**{
-            k: tuple(v) if isinstance(v, list) else v
-            for k, v in payload["config"].items()}) if "config" in payload \
-            else cls.config_cls()
+        saved_cfg = model._config_from_dict(payload["config"]) \
+            if "config" in payload else cls.config_cls()
         if hyper:
             saved_cfg = saved_cfg.replace(**hyper)
         model._pre_load(payload)
+        kwargs = model._consume_ctor_kwargs(kwargs)  # after _pre_load: wins
         BaseAlgorithm.__init__(model, env=env, config=saved_cfg,
                                n_envs=n_envs or payload.get("n_envs"),
                                seed=payload.get("seed"), **kwargs)
         model.num_timesteps = payload.get("num_timesteps", 0)
         model._load_payload(payload)
+        # sync the device-side step counter (warmup/target-refresh gating)
+        # with the restored host counter (SB3 gates on num_timesteps)
+        if hasattr(model._state, "num_ts"):
+            model._state = model._state.replace(
+                num_ts=jnp.asarray(model.num_timesteps, jnp.int32))
         return model
 
     def _pre_load(self, payload: Dict[str, Any]) -> None:
         """Hook for state a subclass needs BEFORE __init__/_setup_model
-        (e.g. DQN's action table)."""
+        (e.g. DQN's action table, HER's sampling knobs)."""
+
+    def _consume_ctor_kwargs(self, kwargs: Dict[str, Any]) -> Dict[str, Any]:
+        """Hook: pop subclass-specific constructor kwargs from a load() call
+        (non-config knobs like HER's n_sampled_goal) and apply them; return
+        the remaining kwargs."""
+        return kwargs
 
     # -- data-parallel helpers (used when axis_name is set) -----------------
     def _pmean(self, tree):

@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .buffers import ReplayState, replay_init
+from .buffers import ReplayState, replay_add, replay_init
 from .ddpg import DDPG
 from .sac import SAC
 from .td3 import TD3
@@ -63,27 +63,46 @@ class _HerMixin:
     her_horizon: int = 200
 
     def _init_replay(self, n_act=None):
+        assert self.core.config.reward_set == 1, (
+            "HER's reward counterfactual implements the reward_set=1 goal "
+            "terms only (docking3d.py:560-607); reward_set=2 is unsupported")
         return her_replay_init(self.cfg.buffer_size // self.n_envs,
                                self.n_envs, self.core.n_observations,
                                n_act if n_act is not None else self.core.n_actions)
 
+    # -- persistence of the HER knobs (not config fields) -----------------
+    def _save_payload(self):
+        d = super()._save_payload()
+        d["her"] = {"n_sampled_goal": self.n_sampled_goal,
+                    "her_horizon": self.her_horizon}
+        return d
+
+    def _pre_load(self, payload):
+        super()._pre_load(payload)
+        her = payload.get("her", {})
+        self.n_sampled_goal = her.get("n_sampled_goal",
+                                      type(self).n_sampled_goal)
+        self.her_horizon = her.get("her_horizon", type(self).her_horizon)
+
+    def _consume_ctor_kwargs(self, kwargs):
+        if "n_sampled_goal" in kwargs:
+            self.n_sampled_goal = kwargs.pop("n_sampled_goal")
+        if "her_horizon" in kwargs:
+            self.her_horizon = kwargs.pop("her_horizon")
+        return super()._consume_ctor_kwargs(kwargs)
+
     def _replay_record(self, st, res, next_obs, scaled):
         rb: HerReplayState = st.replay
-        p = rb.pos
-        return rb.replace(
-            obs=rb.obs.at[p].set(st.last_obs),
-            next_obs=rb.next_obs.at[p].set(next_obs),
-            actions=rb.actions.at[p].set(scaled),
-            rewards=rb.rewards.at[p].set(res.reward),
-            dones=rb.dones.at[p].set(res.done.astype(jnp.float32)),
+        p = rb.pos  # capture before replay_add advances the ring
+        base = replay_add(rb, st.last_obs, next_obs, scaled, res.reward,
+                          res.done.astype(jnp.float32))
+        return base.replace(
             veh_pos=rb.veh_pos.at[p].set(st.env_states.vehicle[:, 0:3]),
             veh_att=rb.veh_att.at[p].set(st.env_states.vehicle[:, 3:6]),
             veh_pos_next=rb.veh_pos_next.at[p].set(res.info.position),
             veh_att_next=rb.veh_att_next.at[p].set(res.info.attitude),
             goal=rb.goal.at[p].set(st.env_states.goal),
             episode_id=rb.episode_id.at[p].set(st.env_states.episode),
-            pos=(p + 1) % rb.capacity,
-            full=rb.full | (p + 1 >= rb.capacity),
         )
 
     # -- goal-dependent reward/obs pieces ------------------------------------
@@ -140,9 +159,13 @@ class _HerMixin:
         in_ring = fut < rb.size  # no wrap: wrapped slots are other episodes
         fut = jnp.clip(fut, 0, rb.capacity - 1)
         same_ep = rb.episode_id[fut, env_idx] == rb.episode_id[step_idx, env_idx]
+        # same-lap guard: when one episode spans the whole ring, slots at or
+        # past the write head belong to the PREVIOUS lap of the same episode
+        # (older data) — a 'future' goal must come from the same lap
+        same_lap = ~((step_idx < rb.pos) & (fut >= rb.pos))
         relabel = (jax.random.uniform(k4, (batch_size,))
                    < self.n_sampled_goal / (self.n_sampled_goal + 1.0))
-        use_new = relabel & same_ep & in_ring
+        use_new = relabel & same_ep & in_ring & same_lap
 
         old_goal = rb.goal[step_idx, env_idx]
         new_goal = jnp.where(use_new[:, None],
@@ -162,8 +185,12 @@ class _HerMixin:
         next_obs = jnp.where(
             use_new[:, None],
             self._relabel_obs(next_obs, pos_n, att_n, new_goal), next_obs)
+        # the reset observation is all-zeros regardless of goal (reference
+        # quirk, docking3d.py:327): relabeling its goal features would put it
+        # off the observation manifold, so leave zero observations untouched
+        nonzero_obs = jnp.any(obs != 0.0, axis=-1)
         obs = jnp.where(
-            use_new[:, None],
+            (use_new & nonzero_obs)[:, None],
             self._relabel_obs(obs, rb.veh_pos[step_idx, env_idx],
                               rb.veh_att[step_idx, env_idx], new_goal), obs)
         return obs, actions, next_obs, rewards, dones

@@ -40,7 +40,7 @@ class OffPolicyAlgorithm(BaseAlgorithm):
         """Scaled -> env units."""
         return unscale_action(scaled, self._action_low, self._action_high)
 
-    def _grad_update(self, state, batch, should_train, update_index):
+    def _grad_update(self, state, batch, should_train, update_index, key):
         """One gradient step on a replay batch; returns (state, metrics)."""
         raise NotImplementedError
 

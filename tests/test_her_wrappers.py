@@ -163,3 +163,37 @@ def test_vec_check_nan():
         env.step(np.full((1, 6), np.nan, np.float32))
     out = env.step(np.zeros((1, 6), np.float32))
     assert np.all(np.isfinite(out[0]))
+
+
+def test_her_knobs_survive_save_load(tmp_path):
+    m = HerSAC(env=ENV, n_envs=2, learning_starts=8, buffer_size=256,
+               batch_size=16, seed=0, n_sampled_goal=8, her_horizon=77)
+    m.learn(total_timesteps=32)
+    path = str(tmp_path / "her")
+    m.save(path)
+    m2 = HerSAC.load(path)
+    assert m2.n_sampled_goal == 8 and m2.her_horizon == 77
+    m3 = HerSAC.load(path, her_horizon=33)  # explicit kwarg wins
+    assert m3.her_horizon == 33 and m3.n_sampled_goal == 8
+
+
+def test_her_rejects_reward_set2():
+    from gym_dockauv_tpu.envs.core import make_env
+
+    core = make_env(ENV, EnvConfig(reward_set=2))
+    with pytest.raises(AssertionError, match="reward_set"):
+        HerSAC(env=core, n_envs=1, learning_starts=4, buffer_size=64,
+               batch_size=8, seed=0)
+
+
+def test_off_policy_load_syncs_device_counter(tmp_path):
+    from gym_dockauv_tpu.rl import SAC
+
+    m = SAC(env=ENV, n_envs=2, learning_starts=8, buffer_size=256,
+            batch_size=16, seed=0)
+    m.learn(total_timesteps=32)
+    m.save(str(tmp_path / "s"))
+    m2 = SAC.load(str(tmp_path / "s"))
+    assert int(m2._state.num_ts) == 32  # no re-warmup on continue-training
+    m2.learn(total_timesteps=8, reset_num_timesteps=False)
+    assert int(m2._state.n_updates) > 0  # trained immediately, no warmup gate
