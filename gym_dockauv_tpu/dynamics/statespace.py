@@ -33,6 +33,7 @@ import numpy as np
 from flax import struct
 
 from ..ops import geom
+from ..ops.filters import apply_lowpass
 from ..ops.integrators import rkf45_step
 
 # ---------------------------------------------------------------------------
@@ -397,9 +398,8 @@ def fossen_vehicle_step(
     derivative is cached (used by the reward's Thetadot term and by
     chi/upsilon).  Returns (new_state, new_u, state_dot_cache).
     """
-    alpha = dt / (dt + params.lpf_t1)
     u_cmd = unnormalize_input(params, action)
-    u = alpha * u_cmd + (1.0 - alpha) * u_prev
+    u = apply_lowpass(u_cmd, u_prev, dt, params.lpf_t1)
 
     w4, _ = rkf45_step(lambda y: fossen_state_dot(params, y, u, nu_c), state, dt)
     new_state = w4.at[..., 3:6].set(geom.ssa(w4[..., 3:6]))

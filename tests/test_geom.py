@@ -83,3 +83,36 @@ def test_jit_compiles():
     f = jax.jit(lambda e, n: geom.euler_kinematics(e, n))
     out = f(jnp.zeros((4, 6)), jnp.ones((4, 6)))
     assert out.shape == (4, 6)
+
+
+def test_lowpass_filter_matches_reference():
+    """ops.filters vs the reference LowPassFilter (lowpassfilter.py:5-45)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from gym_dockauv_tpu.ops.filters import (
+        apply_lowpass,
+        apply_lowpass_sequence,
+        lowpass_alpha,
+    )
+    from .reference_oracle import load_reference
+
+    load_reference()
+    from gym_dockauv.utils.lowpassfilter import LowPassFilter
+
+    ref = LowPassFilter(T1=0.2, sample_time=0.1)
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(50, 3))
+    y = jnp.zeros(3)
+    y_ref = np.zeros(3)
+    ys = []
+    for x in xs:
+        y_ref = ref.apply_lowpass(x, y_ref)
+        y = apply_lowpass(jnp.asarray(x), y, 0.1, 0.2)
+        np.testing.assert_allclose(np.asarray(y), y_ref, rtol=1e-12)
+        ys.append(np.asarray(y))
+    np.testing.assert_allclose(float(lowpass_alpha(0.1, 0.2)), ref.alpha,
+                               rtol=1e-12)
+    # associative-scan sequence form equals the step recurrence
+    seq = apply_lowpass_sequence(jnp.asarray(xs), jnp.zeros(3), 0.1, 0.2)
+    np.testing.assert_allclose(np.asarray(seq), np.stack(ys), rtol=1e-9)
