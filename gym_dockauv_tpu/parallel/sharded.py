@@ -8,8 +8,12 @@ gradients over ICI so every replica applies the identical update.
 
 Minibatch composition note: sharded PPO shuffles within each device's shard
 (global batch = concat of per-device sub-batches); gradient pmean makes the
-update the exact mean over the global minibatch, only the partition of
-samples into minibatches differs from the single-device run.
+update the exact mean over the global minibatch, and advantage
+normalization uses pmean'd GLOBAL moments (PPO._normalize_advantages) —
+so the update equals the unsharded one up to the partition of samples into
+minibatches (the only remaining deviation from SB3 ppo.py:204-265).
+Off-policy logged metrics are also pmean'd (OffPolicyAlgorithm._cycle), so
+train/* values are global means, not one device's locals.
 """
 from __future__ import annotations
 

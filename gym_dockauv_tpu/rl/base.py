@@ -347,3 +347,15 @@ class BaseAlgorithm:
         self._iteration_jit = None
         self._predict_jit = None
         self._eval_cache.clear()
+        if self.axis_name is not None:
+            # a sharded learner must stay sharded: rebuild the shard_map'd
+            # iteration and re-place the (freshly reset) state on the mesh —
+            # otherwise the next learn() would re-jit _iteration without
+            # shard_map and the lax.pmean calls would hit an unbound axis
+            mesh = getattr(self, "_mesh", None)
+            assert mesh is not None, (
+                "learner has axis_name set but no stored mesh; re-apply "
+                "parallel.sharded.shard_algorithm after set_env")
+            from ..parallel.sharded import shard_algorithm
+
+            shard_algorithm(self, mesh=mesh, axis_name=self.axis_name)

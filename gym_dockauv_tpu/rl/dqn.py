@@ -99,8 +99,14 @@ class DQN(OffPolicyAlgorithm):
 
     # -- exploration ---------------------------------------------------------
     def _exploration_schedule(self, progress_remaining):
-        """get_linear_fn(initial, final, fraction) (utils.py:88-112)."""
+        """get_linear_fn(initial, final, fraction) (utils.py:88-112).
+
+        exploration_fraction <= 0 means "no decay window": epsilon is the
+        final value from step 0 (guards the 0/0 NaN at
+        progress_remaining=1.0 that a bare division would produce)."""
         cfg = self.cfg
+        if cfg.exploration_fraction <= 0.0:
+            return jnp.asarray(cfg.exploration_final_eps, jnp.float32)
         frac = (1.0 - progress_remaining) / cfg.exploration_fraction
         return jnp.where(
             frac > 1.0, cfg.exploration_final_eps,

@@ -48,14 +48,21 @@ def evaluate_policy(model, env=None, n_eval_episodes: int = 10,
         return rewards, lengths, goal
 
     cache = getattr(model, "_eval_cache", None)
-    cache_key = ("eval", n_eval_episodes, deterministic,
-                 id(core) if env is not None else None)
+    cache_key = ("eval", n_eval_episodes, deterministic)
+    rollout_jit = None
     if cache is not None and cache_key in cache:
-        rollout_jit = cache[cache_key]
-    else:
+        # the cached rollout closed over a specific env core: only reuse it
+        # if that exact core is still the one we're evaluating (a plain
+        # id(core) key could alias a recycled id after GC)
+        core_ref, cached_fn = cache[cache_key]
+        if core_ref() is core:
+            rollout_jit = cached_fn
+    if rollout_jit is None:
+        import weakref
+
         rollout_jit = jax.jit(rollout)
         if cache is not None:
-            cache[cache_key] = rollout_jit
+            cache[cache_key] = (weakref.ref(core), rollout_jit)
     rewards, lengths, goal = rollout_jit(
         model._inference_params(), jax.random.PRNGKey(seed))
     rewards = np.asarray(rewards)

@@ -18,8 +18,10 @@ episode counter; cross-episode (or ring-wrapped) draws keep the original
 goal.  Relabeling happens at sample time inside the jitted train step — the
 buffer never leaves the device.
 
-Usage: ``HerSAC(env=..., n_sampled_goal=4, her_horizon=200, ...)`` — same
-surface as SAC; ``HerTD3``/``HerDDPG`` likewise.
+Usage: ``HerSAC(env=..., n_sampled_goal=4, ...)`` — same surface as SAC;
+``HerTD3``/``HerDDPG`` likewise.  ``her_horizon=None`` (default) samples
+future goals up to the episode cap like SB3's 'future' strategy; pass an
+int to bias toward nearer goals.
 """
 from __future__ import annotations
 
@@ -57,10 +59,20 @@ def her_replay_init(capacity: int, n_envs: int, obs_dim: int, act_dim: int,
 class _HerMixin:
     """Overrides the off-policy replay hooks with goal-aware storage and
     hindsight relabeling.  Knobs: n_sampled_goal (SB3 default 4, sets the
-    relabel probability k/(k+1)), her_horizon (max future-goal offset)."""
+    relabel probability k/(k+1)), her_horizon (max future-goal offset;
+    None = the episode cap `max_timesteps`, matching SB3's 'future'
+    strategy which samples to episode end, her_replay_buffer.py:41 —
+    same-episode masking truncates at the actual episode boundary either
+    way, so a finite horizon only biases sampling toward nearer goals)."""
 
     n_sampled_goal: int = 4
-    her_horizon: int = 200
+    her_horizon: int | None = None
+
+    @property
+    def _her_offset_cap(self) -> int:
+        if self.her_horizon is not None:
+            return self.her_horizon
+        return int(self.core.config.max_timesteps)
 
     def _init_replay(self, n_act=None):
         assert self.core.config.reward_set == 1, (
@@ -154,7 +166,8 @@ class _HerMixin:
         dones = rb.dones[step_idx, env_idx]
 
         # 'future' goals: a later slot in the same lane & episode
-        offset = jax.random.randint(k3, (batch_size,), 1, self.her_horizon + 1)
+        offset = jax.random.randint(k3, (batch_size,), 1,
+                                    self._her_offset_cap + 1)
         fut = step_idx + offset
         in_ring = fut < rb.size  # no wrap: wrapped slots are other episodes
         fut = jnp.clip(fut, 0, rb.capacity - 1)
@@ -197,7 +210,8 @@ class _HerMixin:
 
 
 class HerSAC(_HerMixin, SAC):
-    def __init__(self, *args, n_sampled_goal: int = 4, her_horizon: int = 200,
+    def __init__(self, *args, n_sampled_goal: int = 4,
+                 her_horizon: int | None = None,
                  **kwargs):
         self.n_sampled_goal = n_sampled_goal
         self.her_horizon = her_horizon
@@ -205,7 +219,8 @@ class HerSAC(_HerMixin, SAC):
 
 
 class HerTD3(_HerMixin, TD3):
-    def __init__(self, *args, n_sampled_goal: int = 4, her_horizon: int = 200,
+    def __init__(self, *args, n_sampled_goal: int = 4,
+                 her_horizon: int | None = None,
                  **kwargs):
         self.n_sampled_goal = n_sampled_goal
         self.her_horizon = her_horizon
@@ -213,7 +228,8 @@ class HerTD3(_HerMixin, TD3):
 
 
 class HerDDPG(_HerMixin, DDPG):
-    def __init__(self, *args, n_sampled_goal: int = 4, her_horizon: int = 200,
+    def __init__(self, *args, n_sampled_goal: int = 4,
+                 her_horizon: int | None = None,
                  **kwargs):
         self.n_sampled_goal = n_sampled_goal
         self.her_horizon = her_horizon

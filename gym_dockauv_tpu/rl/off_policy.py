@@ -133,6 +133,10 @@ class OffPolicyAlgorithm(BaseAlgorithm):
             upd, (state, state.key), jnp.arange(cfg.gradient_steps))
         state = state.replace(key=next_key)
         metrics = {k: jnp.mean(v) for k, v in metrics.items()}
+        # sharded: losses were computed on per-device local batches — average
+        # them over the mesh so logged train/* values are global means, not
+        # whichever replica's locals the runtime happens to return
+        metrics = self._pmean(metrics)
         metrics.update(self._extra_iteration_metrics(state, progress_remaining))
         return state, metrics, stats
 

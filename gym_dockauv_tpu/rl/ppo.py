@@ -138,6 +138,26 @@ class PPO(BaseAlgorithm):
         return self.cfg.n_steps * self.n_envs
 
     # ------------------------------------------------------------------
+    def _normalize_advantages(self, advantages):
+        """Advantage normalization over the GLOBAL minibatch.
+
+        Single-device: torch-unbiased std over the minibatch, exactly SB3
+        (ppo.py:219-221).  Sharded: each device sees only its local slice of
+        the global minibatch, so the mean/std are computed from pmean'd
+        moments — the normalized advantages (and hence the pmean'd gradient)
+        match the unsharded run up to fp rounding, instead of being the mean
+        of differently-normalized shard losses."""
+        if self.axis_name is None:
+            return (advantages - advantages.mean()) / (
+                advantages.std(ddof=1) + 1e-8)  # torch-unbiased std
+        n_shards = jax.lax.psum(1, self.axis_name)
+        n_global = advantages.size * n_shards
+        m1 = jax.lax.pmean(advantages.mean(), self.axis_name)
+        m2 = jax.lax.pmean(jnp.mean(jnp.square(advantages)), self.axis_name)
+        # Bessel-corrected variance from global moments == std(ddof=1)
+        var = (m2 - jnp.square(m1)) * (n_global / (n_global - 1))
+        return (advantages - m1) / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
+
     def _loss(self, params, batch, clip_range):
         cfg = self.cfg
         obs, actions, old_log_prob, old_values, advantages, returns = batch
@@ -146,8 +166,7 @@ class PPO(BaseAlgorithm):
         entropy = gaussian_entropy(jnp.broadcast_to(log_std, mean.shape))
 
         if cfg.normalize_advantage:
-            advantages = (advantages - advantages.mean()) / (
-                advantages.std(ddof=1) + 1e-8)  # torch-unbiased std
+            advantages = self._normalize_advantages(advantages)
         log_ratio = log_prob - old_log_prob
         ratio = jnp.exp(log_ratio)
         pl1 = advantages * ratio
@@ -257,10 +276,29 @@ class PPO(BaseAlgorithm):
         self._state = self._state.replace(
             params=jax.tree_util.tree_map(jnp.asarray, payload["params"]))
         if payload.get("opt_state") is not None:
+            import warnings
+
             try:
-                self._state = self._state.replace(
-                    opt_state=jax.tree_util.tree_map(
-                        jnp.asarray, payload["opt_state"],
-                        is_leaf=lambda x: isinstance(x, np.ndarray)))
-            except Exception:
-                pass  # optimizer state shape drift: keep fresh opt state
+                restored = jax.tree_util.tree_map(
+                    jnp.asarray, payload["opt_state"],
+                    is_leaf=lambda x: isinstance(x, np.ndarray))
+                # validate structure AND leaf shapes against the fresh opt
+                # state before adopting — a silent mismatch would only blow
+                # up (or quietly mis-train) at the next jit
+                def _check(new, cur):
+                    ns = jnp.shape(new)
+                    cs = jnp.shape(cur)
+                    if ns != cs:
+                        raise ValueError(
+                            f"opt_state leaf shape {ns} != expected {cs}")
+                    return new
+                restored = jax.tree_util.tree_map(
+                    _check, restored, self._state.opt_state)
+                self._state = self._state.replace(opt_state=restored)
+            except (ValueError, TypeError, KeyError) as e:
+                # genuine shape/structure drift (e.g. net_arch override at
+                # load): fall back to fresh Adam moments, but say so —
+                # anything else (corrupt payload) propagates
+                warnings.warn(
+                    "PPO.load: saved optimizer state incompatible with the "
+                    f"current model ({e}); keeping fresh optimizer state")

@@ -263,3 +263,38 @@ def test_bluerov2_direct_mode_b_matrix():
                                np.asarray(ref.B(np.zeros(6))), rtol=1e-12)
     np.testing.assert_allclose(np.asarray(ours.u_bound),
                                np.asarray(ref.u_bound), rtol=1e-12)
+
+
+def test_timeout_boundary_parity(tmp_path):
+    """Full-length episode: the t_steps >= max_timesteps done condition
+    (docking3d.py:390,628 pre-increment check) must fire on the same step in
+    both implementations.  max_timesteps is shrunk to 120 in BOTH configs so
+    zero-thrust drift can't trip the bounds condition first — the
+    pre-increment ordering under test is identical at any horizon."""
+    ref = _ref_env(ref_dock.SimpleDocking3d, tmp_path)
+    ref.reset(seed=21)
+    ref.max_timesteps = 120  # reference reads self.max_timesteps (line 142)
+    env = DockingEnv(TRAIN_CONFIG().replace(max_timesteps=120),
+                     family="bluerov", kind="Simple", dtype=jnp.float64)
+    scen = _scenario_from_ref(env, ref)
+    state = env._state_from_scenario(scen, jax.random.PRNGKey(0), episode=1)
+    step = jax.jit(env.step)
+    a = np.zeros(6)
+    done_at = None
+    for t in range(env.config.max_timesteps + 5):
+        obs_r, rew_r, done_r, info_r = ref.step(a.copy())
+        state, res = step(state, jnp.asarray(a))
+        assert bool(res.done) == bool(done_r), f"done mismatch t={t}"
+        if done_r:
+            done_at = t
+            # both must flag the timeout condition (index 3: max
+            # timesteps, docking3d.py:627-628)
+            assert 3 in info_r["conditions_true"]
+            assert bool(np.asarray(res.info.conditions)[3])
+            np.testing.assert_allclose(float(res.reward), rew_r,
+                                       rtol=1e-7, atol=1e-8)
+            break
+    # pre-increment check semantics: the episode runs max_timesteps+1 steps
+    # (t_steps is incremented AFTER the done evaluation on the step where
+    # the counter reaches the cap) — both implementations agree
+    assert done_at == env.config.max_timesteps

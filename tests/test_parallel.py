@@ -87,3 +87,45 @@ def test_jit_iters_step_accounting():
     m.learn(total_timesteps=16)
     assert m.num_timesteps == 16
     assert int(m._state.num_ts) == 16  # device counter agrees
+
+
+def test_sharded_advantage_normalization_is_global():
+    """Sharded PPO normalizes advantages with GLOBAL minibatch moments
+    (pmean of moments), matching the unsharded torch-unbiased formula."""
+    from jax.sharding import PartitionSpec as P
+
+    from gym_dockauv_tpu.parallel.sharded import shard_map
+
+    m = PPO(env=ENV, n_envs=8, n_steps=8, batch_size=16, seed=0)
+    adv = jax.random.normal(jax.random.PRNGKey(3), (32,)) * 2.5 + 1.0
+    expected = (adv - adv.mean()) / (adv.std(ddof=1) + 1e-8)
+
+    m.axis_name = "data"
+    mesh = make_mesh(4)
+    fn = shard_map(m._normalize_advantages, mesh,
+                   in_specs=(P("data"),), out_specs=P("data"))
+    got = jax.jit(fn)(adv)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected),
+                               rtol=1e-6, atol=1e-9)
+
+
+def test_set_env_preserves_sharding():
+    """set_env on a sharded learner must rebuild the shard_map'd iteration
+    and re-place state on the mesh (ADVICE r1: a bare re-jit would hit an
+    unbound pmean axis)."""
+    from gym_dockauv_tpu.envs.core import make_env
+
+    m = PPO(env=ENV, n_envs=8, n_steps=8, batch_size=16, n_epochs=1, seed=2)
+    shard_algorithm(m, n_devices=8)
+    m.learn(total_timesteps=64)
+    m.set_env(make_env(ENV))
+    assert m._iteration_jit is not None and m.axis_name == "data"
+    # env states re-placed on the mesh
+    assert len(m._state.env_states.vehicle.addressable_shards) == 8
+    m.learn(total_timesteps=64, reset_num_timesteps=False)
+    leaf = jax.tree_util.tree_leaves(m._state.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_allclose(s, shards[0])
+    assert all(np.all(np.isfinite(x))
+               for x in jax.tree_util.tree_leaves(jax.device_get(m._state.params)))

@@ -153,3 +153,68 @@ def test_train_with_env_config_preserves_env_id(tmp_path):
     # loadable WITHOUT an explicit env (env_id survived the custom config)
     m2 = PPO.load(str(tmp_path / "model_32"))
     assert m2.env_id == ENV
+
+
+def test_dqn_exploration_fraction_zero_no_nan():
+    """exploration_fraction=0 must give the final eps from step 0 (SB3
+    get_linear_fn boundary), not 0/0=NaN."""
+    m = DQN(env=ENV, n_envs=2, learning_starts=4, buffer_size=64,
+            batch_size=8, exploration_fraction=0.0,
+            exploration_final_eps=0.07, seed=0)
+    for pr in (1.0, 0.5, 0.0):
+        eps = float(m._exploration_schedule(jnp.asarray(pr)))
+        assert np.isfinite(eps) and abs(eps - 0.07) < 1e-7
+
+
+def test_ppo_load_incompatible_opt_state_warns(tmp_path):
+    """Drifted/corrupt saved optimizer state must warn and fall back to
+    fresh moments (not silently pass, not crash later in jit)."""
+    import pickle
+
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0)
+    m.learn(total_timesteps=16)
+    p = str(tmp_path / "model.zip")
+    p_clean = str(tmp_path / "model_clean.zip")
+    m.save(p)
+    m.save(p_clean)
+    with open(p, "rb") as f:
+        payload = pickle.load(f)
+    # simulate shape drift in one Adam moment leaf
+    drifted = jax.tree_util.tree_map(
+        lambda x: np.zeros((3, 3), np.float32)
+        if getattr(x, "ndim", 0) == 2 else x, payload["opt_state"])
+    payload["opt_state"] = drifted
+    with open(p, "wb") as f:
+        pickle.dump(payload, f)
+    with pytest.warns(UserWarning, match="optimizer state incompatible"):
+        m2 = PPO.load(p)
+    m2.learn(total_timesteps=16)  # trains fine on fresh opt state
+
+    # compatible load adopts the saved moments without warning
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        m3 = PPO.load(p_clean)
+    a = jax.tree_util.tree_leaves(m._state.opt_state)
+    b = jax.tree_util.tree_leaves(m3._state.opt_state)
+    assert any(np.allclose(x, y) and np.asarray(x).size > 1
+               for x, y in zip(a, b))
+
+
+def test_eval_cache_not_aliased_across_envs():
+    """The eval cache must key on the actual env core (weakref), not a
+    recyclable id()."""
+    from gym_dockauv_tpu.envs.core import make_env
+    from gym_dockauv_tpu.rl.evaluation import evaluate_policy
+
+    m = PPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0)
+    e1 = make_env(ENV)
+    evaluate_policy(m, env=e1, n_eval_episodes=2, seed=0)
+    ref1, fn1 = m._eval_cache[("eval", 2, True)]
+    assert ref1() is e1
+    evaluate_policy(m, env=e1, n_eval_episodes=2, seed=1)
+    assert m._eval_cache[("eval", 2, True)][1] is fn1  # cache hit
+    e2 = make_env(ENV)
+    evaluate_policy(m, env=e2, n_eval_episodes=2, seed=0)
+    ref2, fn2 = m._eval_cache[("eval", 2, True)]
+    assert ref2() is e2 and fn2 is not fn1  # recompiled for the new core
