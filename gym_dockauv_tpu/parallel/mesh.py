@@ -26,5 +26,9 @@ def make_mesh(n_devices: Optional[int] = None,
         devices = devices[:n_devices]
     n = len(devices)
     assert n % model_parallel == 0, (n, model_parallel)
-    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    if len(axis_names) == 1:
+        assert model_parallel == 1, "model_parallel needs a model axis"
+        arr = np.asarray(devices)
+    else:
+        arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
     return jax.sharding.Mesh(arr, tuple(axis_names))

@@ -24,6 +24,30 @@ from .common import EpisodeStats
 from .logger import Logger, configure_logger, unique_tb_dir
 
 
+def np_local(x) -> np.ndarray:
+    """Materialize a jax.Array as numpy using only locally-addressable
+    shards.  In a multi-process (multi-host) run the episode-stats outputs
+    are global arrays sharded over all processes; each process absorbs the
+    env lanes it owns (per-host logging), so we concatenate the local
+    shards along the sharded axis instead of requiring full addressability."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable or \
+            x.is_fully_replicated:
+        return np.asarray(x)
+    shards = {s.index: np.asarray(s.data) for s in x.addressable_shards}
+    idxs = list(shards)
+    axis = next((i for i in range(len(idxs[0]))
+                 if any(ix[i] != idxs[0][i] for ix in idxs)), None)
+    if axis is None:  # replicated over the local devices
+        return next(iter(shards.values()))
+    order, seen = [], set()
+    for ix in sorted(idxs, key=lambda ix: ix[axis].start or 0):
+        start = ix[axis].start
+        if start not in seen:  # dedup replicas (e.g. model-axis copies)
+            seen.add(start)
+            order.append(shards[ix])
+    return np.concatenate(order, axis=axis)
+
+
 def resolve_env(env, n_envs: Optional[int] = None):
     """Accept env id string / DockingEnv / adapter instances; return
     (core, n_envs, env_id)."""
@@ -151,14 +175,14 @@ class BaseAlgorithm:
         return self
 
     def _absorb_episode_stats(self, ep_stats: EpisodeStats) -> None:
-        dones = np.asarray(ep_stats.dones)
+        dones = np_local(ep_stats.dones)
         if not dones.any():
             return
-        rs = np.asarray(ep_stats.returns)[dones]
-        ls = np.asarray(ep_stats.lengths)[dones]
-        gs = np.asarray(ep_stats.goal_reached)[dones]
-        cs = np.asarray(ep_stats.collision)[dones]
-        cum = np.asarray(ep_stats.cum_reward_arr)[dones]
+        rs = np_local(ep_stats.returns)[dones]
+        ls = np_local(ep_stats.lengths)[dones]
+        gs = np_local(ep_stats.goal_reached)[dones]
+        cs = np_local(ep_stats.collision)[dones]
+        cum = np_local(ep_stats.cum_reward_arr)[dones]
         fds = getattr(self, "full_data_storage", None)
         for r, l, g, c, cr in zip(rs, ls, gs, cs, cum):
             info = {"r": float(r), "l": int(l), "goal": bool(g),
