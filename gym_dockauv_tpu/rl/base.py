@@ -92,6 +92,7 @@ class BaseAlgorithm:
         if seed is not None:
             np.random.seed(seed)
         self.num_timesteps = 0
+        self.episode_count = 0  # finished episodes across the whole run
         self.ep_info_buffer: deque = deque(maxlen=100)
         self._logger: Optional[Logger] = None
         self._state = None  # subclass train-state pytree
@@ -178,6 +179,7 @@ class BaseAlgorithm:
         dones = np_local(ep_stats.dones)
         if not dones.any():
             return
+        self.episode_count += int(dones.sum())
         rs = np_local(ep_stats.returns)[dones]
         ls = np_local(ep_stats.lengths)[dones]
         gs = np_local(ep_stats.goal_reached)[dones]

@@ -39,6 +39,108 @@ def make_gym(gym_env: str, env_config: Optional[EnvConfig] = None) -> GymDocking
     return GymDockingEnv(gym_env, env_config=env_config)
 
 
+class IntervalEpisodeCapture:
+    """In-training trajectory capture on the `interval_datastorage` cadence
+    (gym_dockauv/envs/docking3d.py:319-322: the reference pickles every Nth
+    TRAINING episode's full trajectory).
+
+    The jitted training iteration never leaves the device, so instead of
+    recording lanes mid-flight this rolls out ONE fresh episode with the
+    current (stochastic) policy in a single jitted scan whenever the global
+    finished-episode counter crosses the next interval boundary, and pickles
+    it through `EpisodeDataStorage.from_trajectory` on the reference's
+    filename schema.  At most one capture per learn iteration (with many
+    parallel envs several boundaries can pass in one iteration — the extras
+    are skipped, not queued)."""
+
+    def __init__(self, model: BaseAlgorithm, interval: int,
+                 path_folder: str, title: str, env_id: Optional[str]):
+        self.model = model
+        self.interval = max(int(interval), 1)
+        self.path_folder = path_folder
+        self.title = title
+        self.env_id = env_id
+        self.captured = 0
+        self.saved_files = []
+        self._rollout_jit = None
+        self._core = None
+
+    def init_callback(self, model):
+        self.model = model
+
+    def _build(self, model):
+        import jax
+        import jax.numpy as jnp
+
+        core = model.core
+        max_t = core.config.max_timesteps + 1
+        snapshot = core.radar_snapshot
+
+        def rollout(params, key, episode):
+            k_env, k_act = jax.random.split(key)
+            state0, obs0 = core.reset(k_env, episode)
+
+            def row(state, res_obs, reward_arr):
+                pos, end = snapshot(state)
+                return {"states": state.vehicle,
+                        "states_dot": state.state_dot,
+                        "u": state.u, "nu_c": state.nu_c,
+                        "radar_pos": pos, "radar_end_pos": end,
+                        "cum_rewards": state.cum_reward_arr,
+                        "rewards": reward_arr,
+                        "observation": res_obs}
+
+            def body(carry, _):
+                state, obs, key = carry
+                key, k = jax.random.split(key)
+                action = model._predict_fn(params, obs[None], False, k)[0]
+                state, res = core.step(state, action)
+                return (state, res.obs, key), (
+                    row(state, res.obs, res.info.reward_arr), res.done)
+
+            _, (rows, dones) = jax.lax.scan(
+                body, (state0, obs0, k_act), None, length=max_t)
+            first = row(state0, obs0,
+                        jnp.zeros_like(state0.cum_reward_arr))
+            return state0, first, rows, dones
+
+        self._rollout_jit = jax.jit(rollout)
+        self._core = core
+
+    def _capture(self, model):
+        import jax
+        import jax.numpy as jnp
+
+        if self._rollout_jit is None or self._core is not model.core:
+            self._build(model)
+        model.key, k = jax.random.split(model.key)
+        state0, first, rows, dones = self._rollout_jit(
+            model._inference_params(), k,
+            jnp.asarray(model.episode_count, jnp.int32))
+        dones = np.asarray(dones)
+        t_end = int(np.argmax(dones)) + 1 if dones.any() else len(dones)
+        traj = {}
+        for name in rows:
+            stacked = np.concatenate(
+                [np.asarray(first[name])[None], np.asarray(rows[name])[:t_end]])
+            traj[name] = stacked
+        eds = EpisodeDataStorage.from_trajectory(
+            model.core, jax.device_get(state0), traj,
+            episode=model.episode_count, title=self.title)
+        eds.storage["env_id"] = self.env_id
+        os.makedirs(self.path_folder, exist_ok=True)
+        self.saved_files.append(eds.save(path_folder=self.path_folder))
+        logger.debug("captured training episode %d -> %s",
+                     model.episode_count, self.saved_files[-1])
+
+    def on_step(self, model):
+        due = model.episode_count // self.interval
+        if due > self.captured:
+            self.captured = due
+            self._capture(model)
+        return True
+
+
 def train(gym_env: str,
           total_timesteps: int,
           MODEL: Type[BaseAlgorithm] = SAC,
@@ -84,13 +186,25 @@ def train(gym_env: str,
         title="Training Run", env_id=gym_env)
     model.full_data_storage = fds
 
+    # every-Nth-episode trajectory pickles during training
+    # (docking3d.py:319-322 interval_datastorage)
+    cfg_env = model.core.config
+    interval = int(getattr(cfg_env, "interval_datastorage", 0) or 0)
+    capture = None
+    if 0 < interval < 10 ** 8:
+        capture = IntervalEpisodeCapture(
+            model, interval,
+            path_folder=cfg_env.save_path_folder or
+            (os.path.dirname(model_save_path) or os.getcwd()),
+            title=cfg_env.title, env_id=gym_env)
+
     chunk = timesteps_per_save or total_timesteps
     elapsed = model.num_timesteps  # resumed checkpoints count toward total
     start = timer()
     while elapsed < total_timesteps:
         n = min(chunk, total_timesteps - elapsed)
         model.learn(total_timesteps=n, tb_log_name=tb_log_name,
-                    reset_num_timesteps=False)
+                    reset_num_timesteps=False, callback=capture)
         elapsed = model.num_timesteps
         model.save(f"{model_save_path}_{model.num_timesteps}")
     logger.info("Training finished: %d steps in %.1fs",

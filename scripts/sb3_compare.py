@@ -1,0 +1,260 @@
+"""SB3 1.5.0 learning-curve comparison (BASELINE.md "Learning parity").
+
+Drives the VENDORED reference SB3 (/root/reference/stable_baselines3,
+torch-cPU) and our TPU-native learners on the same reference task with the
+same hyper-parameters (both sides use the SB3 1.5.0 defaults our configs
+mirror), recording every finished episode as
+(total_env_steps, ep_reward, ep_len, success).  `report` overlays the
+curves and writes docs/sb3_comparison.md.
+
+Usage:
+  python scripts/sb3_compare.py sb3  --algo ppo --kind Simple --steps 300000 --seed 0
+  python scripts/sb3_compare.py ours --algo sac --kind Capsule --steps 150000 --seed 0
+  python scripts/sb3_compare.py report
+
+Histories land in docs/sb3/{impl}_{algo}_{kind}_s{seed}.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT_DIR = os.path.join(REPO, "docs", "sb3")
+
+KIND_TO_REF = {
+    "Simple": "SimpleDocking3d",
+    "SimpleCurrent": "SimpleCurrentDocking3d",
+    "Capsule": "CapsuleDocking3d",
+    "CapsuleCurrent": "CapsuleCurrentDocking3d",
+    "Obstacles": "ObstaclesDocking3d",
+}
+
+
+def _out_path(impl, algo, kind, seed):
+    return os.path.join(OUT_DIR, f"{impl}_{algo}_{kind}_s{seed}.json")
+
+
+def _dump(impl, algo, kind, seed, steps, episodes, wall_s):
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(_out_path(impl, algo, kind, seed), "w") as f:
+        json.dump({"impl": impl, "algo": algo, "kind": kind, "seed": seed,
+                   "steps": steps, "wall_s": wall_s,
+                   "episodes": episodes}, f)
+    print(f"wrote {_out_path(impl, algo, kind, seed)} "
+          f"({len(episodes)} episodes, {wall_s:.0f}s)")
+
+
+# ---------------------------------------------------------------- SB3 side
+def run_sb3(algo, kind, steps, seed):
+    os.environ.setdefault("TQDM_DISABLE", "1")  # vendored SB3 hardcodes a bar
+    import torch
+
+    torch.set_num_threads(2)
+    from scripts.sb3_stub import install
+
+    gym = install()
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    import copy
+
+    import numpy as np
+
+    import gym_dockauv.envs.docking3d as ref_dock
+    from gym_dockauv.config.env_config import TRAIN_CONFIG as REF_TRAIN
+
+    cfg = copy.deepcopy(REF_TRAIN)
+    cfg["save_path_folder"] = os.path.join("/tmp", "sb3_cmp", f"{algo}_{kind}_{seed}")
+    os.makedirs(cfg["save_path_folder"], exist_ok=True)
+    cfg["verbose"] = 0
+    cfg["log_level"] = 50
+    cfg["interval_datastorage"] = 10 ** 9
+    env = getattr(ref_dock, KIND_TO_REF[kind])(cfg)
+
+    episodes = []
+
+    class Recorder(gym.Wrapper):
+        def __init__(self, env):
+            super().__init__(env)
+            self.t_total = 0
+            self.ep_r = 0.0
+            self.ep_l = 0
+
+        def reset(self, **kw):
+            self.ep_r, self.ep_l = 0.0, 0
+            return self.env.reset(**kw)
+
+        def step(self, a):
+            obs, r, done, info = self.env.step(a)
+            self.t_total += 1
+            self.ep_r += float(r)
+            self.ep_l += 1
+            if done:
+                episodes.append([self.t_total, self.ep_r, self.ep_l,
+                                 bool(self.env.unwrapped.goal_reached)])
+            return obs, r, done, info
+
+    wrapped = Recorder(env)
+    from stable_baselines3 import PPO as SB3PPO
+    from stable_baselines3 import SAC as SB3SAC
+
+    np.random.seed(seed)
+    if algo == "ppo":
+        model = SB3PPO("MlpPolicy", wrapped, seed=seed, device="cpu", verbose=0)
+    else:
+        model = SB3SAC("MlpPolicy", wrapped, seed=seed, device="cpu", verbose=0)
+    t0 = time.perf_counter()
+    model.learn(total_timesteps=steps)
+    _dump("sb3", algo, kind, seed, steps, episodes, time.perf_counter() - t0)
+
+
+# --------------------------------------------------------------- our side
+def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
+    import jax
+
+    if platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(REPO, ".jax_cache"))
+    from collections import deque
+
+    from gym_dockauv_tpu.rl import PPO, SAC
+
+    env_id = f"{KIND_TO_REF[kind]}-v0"
+    if algo == "ppo":
+        model = PPO(env=env_id, n_envs=n_envs, seed=seed)
+    else:
+        model = SAC(env=env_id, n_envs=n_envs, seed=seed,
+                    buffer_size=min(1_000_000, max(steps, 10_000)))
+    model.ep_info_buffer = deque(maxlen=10 ** 9)  # keep the full history
+    episodes = []
+
+    class Collector:
+        n = 0
+
+        def init_callback(self, algo_):
+            pass
+
+        def on_step(self, algo_):
+            buf = algo_.ep_info_buffer
+            while self.n < len(buf):
+                e = buf[self.n]
+                episodes.append([algo_.num_timesteps, e["r"], e["l"],
+                                 bool(e["goal"])])
+                self.n += 1
+            return True
+
+    t0 = time.perf_counter()
+    model.learn(total_timesteps=steps, callback=Collector(), log_interval=0)
+    _dump("ours", algo, kind, seed, steps, episodes, time.perf_counter() - t0)
+
+
+# ----------------------------------------------------------------- report
+def _smooth(episodes, window=100):
+    import numpy as np
+
+    if not episodes:
+        return np.zeros((0, 3))
+    arr = np.asarray(episodes, dtype=np.float64)
+    out = []
+    for i in range(len(arr)):
+        lo = max(0, i - window + 1)
+        out.append([arr[i, 0], arr[lo:i + 1, 1].mean(),
+                    arr[lo:i + 1, 3].mean()])
+    return np.asarray(out)
+
+
+def report():
+    import numpy as np
+
+    runs = []
+    for fn in sorted(os.listdir(OUT_DIR)):
+        if fn.endswith(".json"):
+            with open(os.path.join(OUT_DIR, fn)) as f:
+                runs.append(json.load(f))
+    if not runs:
+        print("no histories in", OUT_DIR)
+        return
+
+    keys = sorted({(r["algo"], r["kind"]) for r in runs})
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, axes = plt.subplots(len(keys), 2, figsize=(11, 3.2 * len(keys)),
+                             squeeze=False)
+    lines = ["# SB3 1.5.0 learning-curve comparison",
+             "",
+             "Vendored reference SB3 (torch-CPU) vs our TPU-native learners"
+             " on the reference task, SB3-default hyper-parameters on both"
+             " sides, single env lane (`n_envs=1`), reward + success over"
+             " trailing 100 episodes.  Produced by scripts/sb3_compare.py;"
+             " raw histories in docs/sb3/.",
+             "",
+             "| algo | env | impl | seeds | final reward (trail-100) |"
+             " final success | episodes | wall s |",
+             "|---|---|---|---|---|---|---|---|"]
+    for row, (algo, kind) in enumerate(keys):
+        ax_r, ax_s = axes[row]
+        for impl, color in (("sb3", "tab:orange"), ("ours", "tab:blue")):
+            sel = [r for r in runs if r["impl"] == impl
+                   and r["algo"] == algo and r["kind"] == kind]
+            finals_r, finals_s = [], []
+            for i, r in enumerate(sel):
+                sm = _smooth(r["episodes"])
+                if not len(sm):
+                    continue
+                ax_r.plot(sm[:, 0], sm[:, 1], color=color, alpha=0.8,
+                          label=impl if i == 0 else None)
+                ax_s.plot(sm[:, 0], sm[:, 2], color=color, alpha=0.8,
+                          label=impl if i == 0 else None)
+                finals_r.append(sm[-1, 1])
+                finals_s.append(sm[-1, 2])
+            if sel:
+                lines.append(
+                    f"| {algo} | {kind} | {impl} | "
+                    f"{sorted(r['seed'] for r in sel)} | "
+                    f"{np.mean(finals_r):,.0f} | {np.mean(finals_s):.2f} | "
+                    f"{int(np.mean([len(r['episodes']) for r in sel]))} | "
+                    f"{np.mean([r['wall_s'] for r in sel]):,.0f} |")
+        ax_r.set_title(f"{algo.upper()} {kind}: episode reward")
+        ax_s.set_title(f"{algo.upper()} {kind}: success rate")
+        for ax in (ax_r, ax_s):
+            ax.set_xlabel("env steps")
+            ax.legend()
+    fig.tight_layout()
+    png = os.path.join(REPO, "docs", "sb3_comparison.png")
+    fig.savefig(png, dpi=110)
+    lines += ["", f"![curves](sb3_comparison.png)", ""]
+    with open(os.path.join(REPO, "docs", "sb3_comparison.md"), "w") as f:
+        f.write("\n".join(lines))
+    print("wrote docs/sb3_comparison.md and", png)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("mode", choices=("sb3", "ours", "report"))
+    ap.add_argument("--algo", choices=("ppo", "sac"), default="ppo")
+    ap.add_argument("--kind", default="Simple", choices=tuple(KIND_TO_REF))
+    ap.add_argument("--steps", type=int, default=300_000)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
+    ap.add_argument("--n-envs", type=int, default=1)
+    args = ap.parse_args()
+    if args.mode == "sb3":
+        run_sb3(args.algo, args.kind, args.steps, args.seed)
+    elif args.mode == "ours":
+        run_ours(args.algo, args.kind, args.steps, args.seed,
+                 args.platform, args.n_envs)
+    else:
+        report()
+
+
+if __name__ == "__main__":
+    main()

@@ -282,3 +282,27 @@ def test_train_curriculum_stages(tmp_path):
     files = os.listdir(tmp_path)
     assert any("cur_stage0" in f for f in files)
     assert any("cur_stage1" in f for f in files)
+
+
+def test_train_interval_datastorage_capture(tmp_path):
+    """train() must leave every-Nth-episode EPISODE pickles in the config's
+    save folder (docking3d.py:319-322 interval_datastorage) and
+    post_analysis_directory must render them."""
+    from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG
+
+    cfg = TRAIN_CONFIG().replace(max_timesteps=20, interval_datastorage=2,
+                                 save_path_folder=str(tmp_path / "ep"))
+    model = train(ENV, total_timesteps=256, MODEL=PPO,
+                  model_save_path=str(tmp_path / "model"),
+                  agent_hyper_parameter=dict(n_steps=16, batch_size=32),
+                  env_config=cfg, vector_env=2, seed=0, verbose=0)
+    # 20-step episodes, 2 envs, 256 steps -> ~25 episodes; captures gated
+    # to one per iteration (8 iterations)
+    pkls = [f for f in os.listdir(tmp_path / "ep") if "EPISODE" in f]
+    assert 1 <= len(pkls) <= 8, pkls
+    eds = EpisodeDataStorage.load(str(tmp_path / "ep" / pkls[0]))
+    T = eds.states.shape[0]
+    assert T >= 2 and eds.u.shape[0] == T and eds.observations.shape[0] == T
+    assert np.all(np.isfinite(eds.states))
+    produced = post_analysis_directory(str(tmp_path / "ep"))
+    assert len(produced) >= 4 and all(os.path.exists(p) for p in produced)
