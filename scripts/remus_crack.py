@@ -1,0 +1,162 @@
+"""Curriculum experiments to crack ObstaclesCurrentDocking3d_remus-v0.
+
+Round-1 result: plain tolerance annealing (the recipe that takes the
+BlueROV ObstaclesCurrent scenario to 0.92 success) leaves the REMUS variant
+at 0.00 — the torpedo can't hover, and its reward's planar-velocity bonus
+(reference docking3d_remus.py:650-653) fights terminal precision.  Each
+variant here trains a staged curriculum (overriding tolerance and/or
+shaping weights per stage) and is then evaluated on the TRUE unmodified
+env config (success = goal_reached fraction of done-latched deterministic
+rollouts), so shaping can't inflate the reported number.
+
+Usage: python scripts/remus_crack.py [variant ...] (default: all)
+Results -> logs/remus_crack/<variant>.json (+ model zip).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+
+from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG_REMUS
+from gym_dockauv_tpu.envs.core import make_env
+from gym_dockauv_tpu.rl import PPO, SAC
+from gym_dockauv_tpu.train import make_gym
+
+ENV_ID = "ObstaclesCurrentDocking3d_remus-v0"
+OUT = "logs/remus_crack"
+
+
+def true_eval(model, n_episodes=256, seed=1234):
+    """Deterministic rollout on the TRUE config; returns success/collision/
+    reward over n done-latched episodes."""
+    core = make_env(ENV_ID)
+    max_t = core.config.max_timesteps + 1
+    params = model._inference_params()
+
+    def rollout(params, key):
+        keys = jax.random.split(key, n_episodes)
+        states, obs = jax.vmap(core.reset)(
+            keys, jnp.zeros((n_episodes,), jnp.int32))
+        step_env = jax.vmap(core.step)
+
+        def body(carry, _):
+            states, obs, alive, racc, goal, col, key = carry
+            key, k = jax.random.split(key)
+            action = model._predict_fn(params, obs, True, k)
+            states, res = step_env(states, action)
+            racc = racc + res.reward * alive
+            goal = goal | (res.info.goal_reached & alive)
+            col = col | (res.info.collision & alive)
+            alive = alive & ~res.done
+            return (states, res.obs, alive, racc, goal, col, key), None
+
+        init = (states, obs, jnp.ones((n_episodes,), bool),
+                jnp.zeros((n_episodes,)), jnp.zeros((n_episodes,), bool),
+                jnp.zeros((n_episodes,), bool), key)
+        (_, _, _, racc, goal, col, _), _ = jax.lax.scan(
+            body, init, None, length=max_t)
+        return racc, goal, col
+
+    racc, goal, col = jax.jit(rollout)(params, jax.random.PRNGKey(seed))
+    return {"success": float(np.mean(np.asarray(goal))),
+            "collision": float(np.mean(np.asarray(col))),
+            "reward": float(np.mean(np.asarray(racc)))}
+
+
+def run_variant(name, stages, algo="ppo", hyper=None, vector_env=1024,
+                seed=0):
+    """stages: list of ({config override kwargs incl. optional
+    'w_velocity'/'w_goal'...}, steps)."""
+    os.makedirs(OUT, exist_ok=True)
+    hyper = dict(hyper or {})
+    t0 = time.time()
+    model = None
+    stage_log = []
+    for i, (ov, steps) in enumerate(stages):
+        ov = dict(ov)
+        rf_over = {k: ov.pop(k) for k in list(ov)
+                   if k.startswith("w_")}
+        cfg = TRAIN_CONFIG_REMUS()
+        if rf_over:
+            cfg = cfg.replace(reward_factors=cfg.reward_factors.replace(
+                **rf_over))
+        if ov:
+            cfg = cfg.replace(**ov)
+        env = make_gym(ENV_ID, cfg)
+        if model is None:
+            if algo == "ppo":
+                model = PPO(env=env, n_envs=vector_env, seed=seed, **hyper)
+            else:
+                model = SAC(env=env, n_envs=vector_env, seed=seed, **hyper)
+        else:
+            model.set_env(env)
+        model.learn(total_timesteps=steps, reset_num_timesteps=False)
+        suc = (float(np.mean([e["goal"] for e in model.ep_info_buffer]))
+               if model.ep_info_buffer else 0.0)
+        stage_log.append({"stage": i, "overrides": {**ov, **rf_over},
+                          "steps": model.num_timesteps,
+                          "train_success": suc,
+                          "wall_s": time.time() - t0})
+        print(f"[{name}] stage {i} {ov} {rf_over}: train_success={suc:.2f} "
+              f"({model.num_timesteps} steps, {time.time()-t0:.0f}s)",
+              flush=True)
+    ev = true_eval(model)
+    result = {"variant": name, "algo": algo, "hyper": hyper,
+              "vector_env": vector_env, "seed": seed, "stages": stage_log,
+              "true_eval": ev, "total_steps": model.num_timesteps,
+              "wall_s": time.time() - t0}
+    with open(f"{OUT}/{name}.json", "w") as f:
+        json.dump(result, f, indent=1)
+    model.save(f"{OUT}/{name}_model")
+    print(f"[{name}] TRUE-CONFIG EVAL: {ev} ({time.time()-t0:.0f}s)",
+          flush=True)
+    return result
+
+
+PPO_HYPER = dict(n_steps=32, batch_size=8192, n_epochs=4,
+                 learning_rate=3e-4, ent_coef=0.0)
+
+M = 1_000_000
+VARIANTS = {
+    # finer tolerance ladder, bigger budget than round 1
+    "fine_tol": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0}, 8 * M),
+        ({"dist_goal_reached_tol": 2.0}, 8 * M),
+        ({"dist_goal_reached_tol": 1.4}, 8 * M),
+        ({"dist_goal_reached_tol": 1.0}, 10 * M),
+        ({"dist_goal_reached_tol": 0.7}, 10 * M),
+        ({}, 16 * M)], algo="ppo", hyper=PPO_HYPER),
+    # same ladder with the velocity bonus removed during shaping stages
+    "tol_novel": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "w_velocity": 0.0}, 8 * M),
+        ({"dist_goal_reached_tol": 2.0, "w_velocity": 0.0}, 8 * M),
+        ({"dist_goal_reached_tol": 1.4, "w_velocity": 0.0}, 8 * M),
+        ({"dist_goal_reached_tol": 1.0, "w_velocity": 0.0}, 10 * M),
+        ({"dist_goal_reached_tol": 0.7, "w_velocity": 0.0}, 10 * M),
+        ({"w_velocity": 0.0}, 10 * M),
+        ({}, 8 * M)], algo="ppo", hyper=PPO_HYPER),
+    # heavier goal bonus during shaping (precision incentive dominates
+    # the cruise bonus), annealed back to the true weights at the end
+    "tol_bigoal": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "w_goal": 1200.0}, 8 * M),
+        ({"dist_goal_reached_tol": 1.8, "w_goal": 1200.0}, 8 * M),
+        ({"dist_goal_reached_tol": 1.0, "w_goal": 1200.0}, 10 * M),
+        ({"dist_goal_reached_tol": 0.6, "w_goal": 1200.0}, 10 * M),
+        ({}, 12 * M)], algo="ppo", hyper=PPO_HYPER),
+}
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        run_variant(n, **VARIANTS[n])

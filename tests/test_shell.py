@@ -306,3 +306,18 @@ def test_train_interval_datastorage_capture(tmp_path):
     assert np.all(np.isfinite(eds.states))
     produced = post_analysis_directory(str(tmp_path / "ep"))
     assert len(produced) >= 4 and all(os.path.exists(p) for p in produced)
+
+
+def test_api_docs_generator(tmp_path):
+    """docs/api autogen (Sphinx docsrc/ counterpart) stays runnable."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import gen_api_docs
+
+    written = gen_api_docs.generate(out=str(tmp_path))
+    assert len(written) > 40
+    idx = (tmp_path / "index.md").read_text()
+    assert "gym_dockauv_tpu.ops.rays" in idx
+    page = (tmp_path / "gym_dockauv_tpu_ops_rays.md").read_text()
+    assert "Masked, batched ray-casting" in page
