@@ -30,6 +30,12 @@ class PPOConfig:
     net_arch: Tuple[int, ...] = (64, 64)
     log_std_init: float = 0.0
     tensorboard_log: Optional[str] = None
+    # Off by default for SB3 parity (ActorCriticPolicy samples in RAW env
+    # units).  True = the policy lives in [-1, 1] and actions are affinely
+    # mapped to the env bounds — essential for envs with asymmetric bounds
+    # like the REMUS rpm in [0, 1500], where a raw zero-centered Gaussian
+    # never spins the propeller (policies.py squash_output analogue).
+    scale_actions: bool = False
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

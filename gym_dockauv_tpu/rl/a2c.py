@@ -62,8 +62,7 @@ class A2C(PPO):
         work_key, next_key = self._work_keys(state)
         env_states, last_obs, key, traj, stats = collect_rollout(
             self.core, self.net.apply, state.params, state.env_states,
-            state.last_obs, work_key, cfg.n_steps,
-            self._action_low, self._action_high)
+            state.last_obs, work_key, cfg.n_steps, self._to_env_action)
         last_values = self.net.apply(state.params, last_obs)[2]
         advantages, returns = compute_gae(
             traj.reward, traj.value, traj.done, last_values,

@@ -50,11 +50,13 @@ class Transition(NamedTuple):
 
 
 def collect_rollout(core, apply_fn, params, env_states, obs, key, n_steps,
-                    action_low, action_high):
+                    to_env_action):
     """n_steps of (policy forward -> env step_autoreset), batched over envs.
 
     Returns (env_states, last_obs, key, Transition(T,N,...), EpisodeStats).
     Mirrors on_policy_algorithm.py:129-217 minus the host round-trips.
+    `to_env_action` maps the (pre-clip, stored) policy sample to env units —
+    identity+clip in SB3-parity mode, affine unscale when scale_actions.
     """
     step_env = jax.vmap(core.step_autoreset)
 
@@ -64,8 +66,7 @@ def collect_rollout(core, apply_fn, params, env_states, obs, key, n_steps,
         mean, log_std, value = apply_fn(params, obs)
         action = gaussian_sample(k_act, mean, log_std)
         log_prob = gaussian_log_prob(action, mean, log_std)
-        clipped = jnp.clip(action, action_low, action_high)
-        env_states, res = step_env(env_states, clipped)
+        env_states, res = step_env(env_states, to_env_action(action))
         tr = Transition(obs, action, log_prob, value, res.reward, res.done)
         stats = EpisodeStats(res.done, res.info.cumulative_reward,
                              res.info.t_step, res.info.goal_reached,
@@ -132,6 +133,16 @@ class PPO(BaseAlgorithm):
         self._state = OnPolicyState(params, opt_state, env_states, obs, self.key)
         self._action_low = jnp.asarray(core.action_low, jnp.float32)
         self._action_high = jnp.asarray(core.action_high, jnp.float32)
+
+    def _to_env_action(self, action):
+        """Policy sample -> env units (clip-only in SB3-parity mode).
+        getattr: A2C shares this via inheritance but its config has no
+        scale_actions knob."""
+        if getattr(self.cfg, "scale_actions", False):
+            a = jnp.clip(action, -1.0, 1.0)
+            return self._action_low + 0.5 * (a + 1.0) * (
+                self._action_high - self._action_low)
+        return jnp.clip(action, self._action_low, self._action_high)
 
     @property
     def _steps_per_iteration(self) -> int:
@@ -200,7 +211,7 @@ class PPO(BaseAlgorithm):
 
         env_states, last_obs, key, traj, stats = collect_rollout(
             self.core, self.net.apply, state.params, state.env_states,
-            state.last_obs, work_key, T, self._action_low, self._action_high)
+            state.last_obs, work_key, T, self._to_env_action)
         last_values = self.net.apply(state.params, last_obs)[2]
         advantages, returns = compute_gae(
             traj.reward, traj.value, traj.done, last_values,
@@ -264,7 +275,7 @@ class PPO(BaseAlgorithm):
         mean, log_std, _ = self.net.apply(params, obs)
         action = jnp.where(deterministic, mean,
                            gaussian_sample(key, mean, log_std))
-        return jnp.clip(action, self._action_low, self._action_high)
+        return self._to_env_action(action)
 
     # ------------------------------------------------------------------
     def _save_payload(self):

@@ -90,10 +90,17 @@ def test_weak_scaling_efficiency_two_devices():
     """BASELINE target: >=0.8 weak-scaling efficiency.  Measured on the
     virtual rig at N=2 — the only count where the 4-core host still has
     cores to spare for runtime threads (see SCALING.md); one retry guards
-    scheduler noise."""
+    scheduler noise.  Skipped when the host is already loaded (the
+    measurement needs idle cores; under concurrent jobs it reports the
+    scheduler, not the framework)."""
+    import os
     import types
 
     import bench_scaling as bs
+
+    load = os.getloadavg()[0]
+    if load > os.cpu_count() / 2:
+        pytest.skip(f"host loadavg {load:.1f} too high for a timing test")
 
     args = types.SimpleNamespace(platform="cpu", envs_per_device=64,
                                  n_steps=16, iters=40)

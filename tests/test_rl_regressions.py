@@ -218,3 +218,23 @@ def test_eval_cache_not_aliased_across_envs():
     evaluate_policy(m, env=e2, n_eval_episodes=2, seed=0)
     ref2, fn2 = m._eval_cache[("eval", 2, True)]
     assert ref2() is e2 and fn2 is not fn1  # recompiled for the new core
+
+
+def test_ppo_scale_actions_covers_asymmetric_bounds():
+    """scale_actions=True: policy lives in [-1,1], env receives the affine
+    map to bounds — on REMUS (rpm in [0,1500]) the default raw-unit Gaussian
+    barely spins the propeller; the scaled mode must actually drive it."""
+    m = PPO(env="SimpleDocking3d_remus-v0", n_envs=2, n_steps=8,
+            batch_size=16, scale_actions=True, seed=0)
+    a = m._to_env_action(jnp.zeros((4, 3)))
+    np.testing.assert_allclose(np.asarray(a)[0], [0.0, 0.0, 750.0], atol=1e-5)
+    a = m._to_env_action(jnp.full((1, 3), 2.0))  # clips to upper bound
+    np.testing.assert_allclose(np.asarray(a)[0], [10.0, 10.0, 1500.0],
+                               atol=1e-4)
+    m.learn(total_timesteps=32)
+    # the vehicle moved (raw-unit mode leaves it near the spawn point)
+    pos = np.asarray(m._state.env_states.vehicle[:, 0:3])
+    spawn = np.asarray([-8.0, 0.0, 0.0])
+    assert np.linalg.norm(pos - spawn, axis=-1).max() > 0.5
+    act, _ = m.predict(np.zeros(m.core.n_observations, np.float32))
+    assert 0.0 <= act[2] <= 1500.0
