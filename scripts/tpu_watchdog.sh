@@ -1,0 +1,25 @@
+#!/bin/bash
+# Retry wrapper for the flaky axon tunnel: the remote compile/init RPC
+# sporadically never returns (process sits futex-waiting with ~0 CPU).
+# Relaunches the command if its log hasn't grown within STALL_S seconds.
+# usage: tpu_watchdog.sh <log> <stall_s> <max_tries> -- cmd args...
+LOG=$1; STALL=$2; TRIES=$3; shift 4
+for try in $(seq 1 "$TRIES"); do
+  echo "[watchdog] attempt $try: $*" >> "$LOG"
+  "$@" >> "$LOG" 2>&1 &
+  PID=$!
+  while kill -0 "$PID" 2>/dev/null; do
+    SIZE0=$(stat -c %s "$LOG")
+    sleep "$STALL"
+    kill -0 "$PID" 2>/dev/null || break
+    SIZE1=$(stat -c %s "$LOG")
+    if [ "$SIZE1" -eq "$SIZE0" ]; then
+      echo "[watchdog] stalled (no log growth in ${STALL}s); killing $PID" >> "$LOG"
+      kill "$PID"; sleep 3; kill -9 "$PID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$PID"; RC=$?
+  if [ "$RC" -eq 0 ]; then echo "[watchdog] success" >> "$LOG"; exit 0; fi
+done
+echo "[watchdog] giving up after $TRIES attempts" >> "$LOG"; exit 1
