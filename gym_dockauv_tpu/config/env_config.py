@@ -46,6 +46,9 @@ class RewardFactors:
     w_col: float = -300.0
     w_velocity: float = 0.0  # REMUS planar-velocity bonus (remus cfg: 1.0)
 
+    def replace(self, **kwargs) -> "RewardFactors":
+        return dataclasses.replace(self, **kwargs)
+
 
 @dataclasses.dataclass(frozen=True)
 class EnvConfig:

@@ -167,7 +167,25 @@ TOL_LADDER = [
     ({"dist_goal_reached_tol": 0.7}, 10 * M),
     ({}, 16 * M)]
 
+SAFE = {"w_velocity": 0.0, "w_col": -1000.0, "w_oa": 1.0}
+SAFE2 = {"w_velocity": 0.0, "w_col": -600.0, "w_oa": 0.5}
+
 VARIANTS = {
+    # run6 post-mortem: tolerance-only annealing caps at 0.35 train
+    # success even at a 3 m tolerance, with ~0.5 of episodes ending in
+    # collision at every stage — the velocity bonus drives cruising into
+    # the obstacle ring / center capsule.  safe_first teaches crash-free
+    # navigation (no cruise bonus, heavy collision penalty, strong
+    # avoidance shaping) before tightening precision, then restores the
+    # true weights.
+    "safe_first": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, **SAFE}, 12 * M),
+        ({"dist_goal_reached_tol": 1.8, **SAFE}, 10 * M),
+        ({"dist_goal_reached_tol": 1.0, **SAFE2}, 10 * M),
+        ({"dist_goal_reached_tol": 0.7, **SAFE2}, 10 * M),
+        ({"w_velocity": 0.0}, 10 * M),
+        ({}, 10 * M)], algo="ppo", hyper=PPO_HYPER, gate=0.6,
+        budget_mult=2.5),
     # finer tolerance ladder than round 1, scaled-action PPO
     "sc_fine_tol": dict(stages=TOL_LADDER, algo="ppo", hyper=PPO_HYPER),
     # same ladder with the velocity bonus removed during shaping stages

@@ -129,7 +129,9 @@ def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
     if algo == "ppo":
         model = PPO(env=env_id, n_envs=n_envs, seed=seed)
     else:
-        model = SAC(env=env_id, n_envs=n_envs, seed=seed,
+        # jit_iters only fuses host dispatches (semantics per cycle are
+        # unchanged); n_envs=1 SAC is dispatch-bound on CPU without it
+        model = SAC(env=env_id, n_envs=n_envs, seed=seed, jit_iters=50,
                     buffer_size=min(1_000_000, max(steps, 10_000)))
     model.ep_info_buffer = deque(maxlen=10 ** 9)  # keep the full history
     episodes = []
