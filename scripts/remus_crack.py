@@ -169,6 +169,13 @@ TOL_LADDER = [
 
 SAFE = {"w_velocity": 0.0, "w_col": -1000.0, "w_oa": 1.0}
 SAFE2 = {"w_velocity": 0.0, "w_col": -600.0, "w_oa": 0.5}
+# run9 post-mortem: zeroing w_velocity kills learning outright (0.00 at
+# tol 3.0) — the cruise bonus is what keeps exploration energetic.  The
+# deeper conflict: at w_velocity=1 a cruising policy collects ~+2/step for
+# up to 1000 steps, so ENDING the episode by docking (w_goal=+400) is
+# worse than never docking.  bigoal keeps the cruise bonus but makes the
+# dock terminal worth more than the forfeited cruise income.
+BG = {"w_goal": 3000.0}
 
 VARIANTS = {
     # run6 post-mortem: tolerance-only annealing caps at 0.35 train
@@ -186,6 +193,28 @@ VARIANTS = {
         ({"w_velocity": 0.0}, 10 * M),
         ({}, 10 * M)], algo="ppo", hyper=PPO_HYPER, gate=0.6,
         budget_mult=2.5),
+    # run10 post-mortem: w_goal=3000 raises collisions (0.75+) without
+    # lifting success (caps 0.18) — charging the boundary goal head-on.
+    # short_ep fixes the dock-vs-cruise economics structurally: a 300-step
+    # episode caps cruise income at ~600 (comparable to w_goal) and
+    # triples episode turnover, without touching any reward weight.
+    "short_ep": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "max_timesteps": 300}, 8 * M),
+        ({"dist_goal_reached_tol": 2.0, "max_timesteps": 300}, 8 * M),
+        ({"dist_goal_reached_tol": 1.2, "max_timesteps": 300}, 8 * M),
+        ({"dist_goal_reached_tol": 0.8, "max_timesteps": 400}, 10 * M),
+        ({"dist_goal_reached_tol": 0.6, "max_timesteps": 600}, 10 * M),
+        ({}, 12 * M)], algo="ppo", hyper=PPO_HYPER, gate=0.6,
+        budget_mult=3),
+    "bigoal": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, **BG}, 8 * M),
+        ({"dist_goal_reached_tol": 2.0, **BG}, 8 * M),
+        ({"dist_goal_reached_tol": 1.2, **BG}, 8 * M),
+        ({"dist_goal_reached_tol": 0.8, **BG}, 10 * M),
+        ({"dist_goal_reached_tol": 0.6, **BG}, 10 * M),
+        ({**BG}, 12 * M),
+        ({}, 6 * M)], algo="ppo", hyper=PPO_HYPER, gate=0.6,
+        budget_mult=3),
     # finer tolerance ladder than round 1, scaled-action PPO
     "sc_fine_tol": dict(stages=TOL_LADDER, algo="ppo", hyper=PPO_HYPER),
     # same ladder with the velocity bonus removed during shaping stages
