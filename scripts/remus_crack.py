@@ -36,10 +36,11 @@ ENV_ID = "ObstaclesCurrentDocking3d_remus-v0"
 OUT = "logs/remus_crack"
 
 
-def true_eval(model, n_episodes=256, seed=1234):
-    """Deterministic rollout on the TRUE config; returns success/collision/
-    reward over n done-latched episodes."""
-    core = make_env(ENV_ID)
+def true_eval(model, n_episodes=256, seed=1234, core=None):
+    """Deterministic rollout on the TRUE config (or `core` if given);
+    returns success/collision/reward over n done-latched episodes."""
+    if core is None:
+        core = make_env(ENV_ID)
     max_t = core.config.max_timesteps + 1
     params = model._inference_params()
 
@@ -79,7 +80,7 @@ def _train_success(model):
 
 
 def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
-                seed=0, gate=0.6, budget_mult=3):
+                seed=0, gate=0.6, budget_mult=3, det_gate=False):
     """stages: list of ({config override kwargs incl. optional
     'w_velocity'/'w_goal'...}, steps).
 
@@ -87,7 +88,12 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
     when trailing-100-episode success >= `gate` (or its budget is
     exhausted at budget_mult x the nominal steps).  The ungated ladder
     regresses — run4 measured 0.20 -> 0.02 -> 0.01 when the tolerance
-    tightened on schedule over an unmastered policy."""
+    tightened on schedule over an unmastered policy.
+
+    det_gate=True gates on a DETERMINISTIC rollout of the stage env
+    instead of the stochastic trailing train success — diag_tol3 measured
+    deterministic success at 2x the stochastic number (0.55 vs 0.26), so
+    the stochastic gate stalls ladders the policy has actually mastered."""
     os.makedirs(OUT, exist_ok=True)
     hyper = dict(hyper or {})
     t0 = time.time()
@@ -113,7 +119,7 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
             model.set_env(env)
         chunk = max(steps // 4, 1)
         spent = 0
-        suc = 0.0
+        suc = det = 0.0
         while spent < steps * budget_mult:
             model.learn(total_timesteps=chunk, reset_num_timesteps=False)
             spent += chunk
@@ -121,14 +127,20 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
             col = (float(np.mean([e["collision"] for e in
                                   model.ep_info_buffer]))
                    if model.ep_info_buffer else 0.0)
-            print(f"[{name}] stage {i} +{spent / 1e6:.0f}M: "
-                  f"success={suc:.2f} collision={col:.2f} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
-            if spent >= steps and suc >= gate:
-                break
+            line = (f"[{name}] stage {i} +{spent / 1e6:.0f}M: "
+                    f"success={suc:.2f} collision={col:.2f}")
+            if spent >= steps:
+                if det_gate:
+                    det = true_eval(model, n_episodes=128, core=env.core,
+                                    seed=4321 + i)["success"]
+                    line += f" det={det:.2f}"
+                if (det if det_gate else suc) >= gate:
+                    print(f"{line} ({time.time()-t0:.0f}s)", flush=True)
+                    break
+            print(f"{line} ({time.time()-t0:.0f}s)", flush=True)
         stage_log.append({"stage": i, "overrides": {**ov, **rf_over},
                           "steps": model.num_timesteps,
-                          "train_success": suc,
+                          "train_success": suc, "det_success": det,
                           "wall_s": time.time() - t0})
         print(f"[{name}] stage {i} {ov} {rf_over}: train_success={suc:.2f} "
               f"({model.num_timesteps} steps, {time.time()-t0:.0f}s)",
@@ -222,12 +234,31 @@ VARIANTS = {
         ({**ov, "w_velocity": 0.0}, s) for ov, s in TOL_LADDER[:-1]] + [
         ({"w_velocity": 0.0}, 10 * M),
         ({}, 8 * M)], algo="ppo", hyper=PPO_HYPER),
-    # off-policy fallback (SAC cracked SimpleDocking3d_remus in round 1)
+    # off-policy fallback (SAC cracked SimpleDocking3d_remus in round 1);
+    # det-gated so the ladder advances on actual capability
     "sac_tol": dict(stages=[
         ({"dist_goal_reached_tol": 3.0}, 3 * M),
-        ({"dist_goal_reached_tol": 1.5}, 3 * M),
-        ({"dist_goal_reached_tol": 0.8}, 3 * M),
-        ({}, 4 * M)], algo="sac", hyper=SAC_HYPER, vector_env=64),
+        ({"dist_goal_reached_tol": 2.0}, 3 * M),
+        ({"dist_goal_reached_tol": 1.4}, 3 * M),
+        ({"dist_goal_reached_tol": 1.0}, 3 * M),
+        ({"dist_goal_reached_tol": 0.7}, 3 * M),
+        ({}, 4 * M)], algo="sac", hyper=SAC_HYPER, vector_env=64,
+        gate=0.55, det_gate=True, budget_mult=2.5),
+    # diag_tol3 post-mortem: stochastic success (0.26) is HALF the
+    # deterministic capability (0.55) — PPO's log_std_init=0.0 means
+    # std 1.0 over the scaled [-1,1] action space, i.e. near-bang-bang
+    # random fin deflections that steer cruise paths into the obstacle
+    # ring (sto collision 0.47 vs det 0.40).  lowstd starts exploration
+    # at std~0.37 and gates the ladder on deterministic eval.
+    "lowstd": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0}, 6 * M),
+        ({"dist_goal_reached_tol": 2.0}, 6 * M),
+        ({"dist_goal_reached_tol": 1.4}, 6 * M),
+        ({"dist_goal_reached_tol": 1.0}, 8 * M),
+        ({"dist_goal_reached_tol": 0.7}, 8 * M),
+        ({}, 10 * M)], algo="ppo",
+        hyper={**PPO_HYPER, "log_std_init": -1.0},
+        gate=0.55, det_gate=True, budget_mult=2.5),
 }
 
 
