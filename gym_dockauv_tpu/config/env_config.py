@@ -95,6 +95,19 @@ class EnvConfig:
 
     index: int | None = None  # per-worker index (docking3d_remus.py:52-56)
 
+    # --- curriculum-shaping knobs (TRAINING TOOLS, no reference counterpart;
+    # the defaults reproduce the reference scenarios exactly) ---------------
+    # Scales the radius of the 4 ring obstacle capsules (Obstacles* kinds).
+    # Annealing 0.2 -> 1.0 teaches ring navigation with fat safety margins
+    # before the true 2 m collision shells (capsule r=1 + safety_radius).
+    ring_radius_scale: float = 1.0
+    # Extra radial offset (m) of the docking goal from the capsule shaft.
+    # The reference places the goal EXACTLY on the vehicle's collision
+    # boundary (goal radius = capsule radius + safety radius,
+    # docking3d.py:884-888); a positive margin makes the terminal approach
+    # forgiving early in a curriculum, annealed back to the true 0.
+    goal_radius_margin: float = 0.0
+
     def replace(self, **kwargs) -> "EnvConfig":
         return dataclasses.replace(self, **kwargs)
 

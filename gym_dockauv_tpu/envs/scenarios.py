@@ -110,7 +110,7 @@ def sample_scenario(
     if has_center:
         # Goal on the docking-capsule shaft (docking3d.py:876-898).
         theta_g = jax.random.uniform(k_goal1, (), dtype=dtype) * 2 * jnp.pi
-        radius_g = _CAPSULE_RADIUS + cfg.safety_radius
+        radius_g = _CAPSULE_RADIUS + cfg.safety_radius + cfg.goal_radius_margin
         goal = jnp.stack(
             [
                 jnp.cos(theta_g) * radius_g,
@@ -141,7 +141,7 @@ def sample_scenario(
             bot = jnp.stack([xs[i], ys[i], height / 2.0])
             cap_a = cap_a.at[start + i].set(bot)
             cap_b = cap_b.at[start + i].set(top)
-            cap_r = cap_r.at[start + i].set(_RING_RADIUS)
+            cap_r = cap_r.at[start + i].set(_RING_RADIUS * cfg.ring_radius_scale)
             cap_valid = cap_valid.at[start + i].set(True)
 
     # --- current --------------------------------------------------------

@@ -82,7 +82,7 @@ def _train_success(model):
 def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
                 seed=0, gate=0.6, budget_mult=3, det_gate=False):
     """stages: list of ({config override kwargs incl. optional
-    'w_velocity'/'w_goal'...}, steps).
+    'w_velocity'/'w_goal'... and optional 'env_id'}, steps).
 
     Mastery-gated annealing: a stage trains in chunks and only advances
     when trailing-100-episode success >= `gate` (or its budget is
@@ -101,6 +101,7 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
     stage_log = []
     for i, (ov, steps) in enumerate(stages):
         ov = dict(ov)
+        env_id = ov.pop("env_id", ENV_ID)
         rf_over = {k: ov.pop(k) for k in list(ov)
                    if k.startswith("w_")}
         cfg = TRAIN_CONFIG_REMUS()
@@ -109,7 +110,7 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
                 **rf_over))
         if ov:
             cfg = cfg.replace(**ov)
-        env = make_gym(ENV_ID, cfg)
+        env = make_gym(env_id, cfg)
         if model is None:
             if algo == "ppo":
                 model = PPO(env=env, n_envs=vector_env, seed=seed, **hyper)
@@ -138,7 +139,8 @@ def run_variant(name, stages, algo="ppo", hyper=None, vector_env=256,
                     print(f"{line} ({time.time()-t0:.0f}s)", flush=True)
                     break
             print(f"{line} ({time.time()-t0:.0f}s)", flush=True)
-        stage_log.append({"stage": i, "overrides": {**ov, **rf_over},
+        stage_log.append({"stage": i, "env_id": env_id,
+                          "overrides": {**ov, **rf_over},
                           "steps": model.num_timesteps,
                           "train_success": suc, "det_success": det,
                           "wall_s": time.time() - t0})
@@ -250,6 +252,45 @@ VARIANTS = {
     # random fin deflections that steer cruise paths into the obstacle
     # ring (sto collision 0.47 vs det 0.40).  lowstd starts exploration
     # at std~0.37 and gates the ladder on deterministic eval.
+    # shrinkwrap: anneal the two ACTUAL blockers directly, not just the
+    # success tolerance.  (a) ring_radius_scale grows the 4 ring capsules
+    # 0.2 -> 1.0 (full-rudder turn radius is ~2.6 m vs the 2 m collision
+    # shell — navigation is genuinely tight, so learn the route with thin
+    # fences first); (b) goal_radius_margin starts the goal 1.5 m OFF the
+    # center-capsule collision boundary (the reference puts it exactly ON
+    # it) and anneals back to the true 0.  Final stage is the exact
+    # reference config.
+    "shrinkwrap": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "ring_radius_scale": 0.2,
+          "goal_radius_margin": 1.5}, 6 * M),
+        ({"dist_goal_reached_tol": 2.0, "ring_radius_scale": 0.5,
+          "goal_radius_margin": 1.0}, 6 * M),
+        ({"dist_goal_reached_tol": 1.2, "ring_radius_scale": 0.8,
+          "goal_radius_margin": 0.5}, 8 * M),
+        ({"dist_goal_reached_tol": 0.8, "ring_radius_scale": 1.0,
+          "goal_radius_margin": 0.2}, 8 * M),
+        ({"dist_goal_reached_tol": 0.65}, 8 * M),
+        ({}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
+        gate=0.55, det_gate=True, budget_mult=2.5),
+    # geometry ladder: collisions dominate every tolerance ladder (0.6-0.7
+    # of episodes end on the ring or center capsule), so learn PRECISION
+    # first on CapsuleCurrent (same goal-on-the-capsule-shaft task, same
+    # current, no ring) and only then introduce the ring.  The ring is a
+    # navigation problem (thread a 6 m-radius 4-capsule fence from the
+    # fixed [-8,0,0] spawn); the capsule shaft is the precision problem —
+    # staging them separately avoids exploring both at once.
+    "geo_ladder": dict(stages=[
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 3.0}, 5 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 1.5}, 5 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 0.8}, 6 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0"}, 6 * M),
+        ({"dist_goal_reached_tol": 1.0}, 8 * M),
+        ({}, 12 * M)], algo="ppo",
+        hyper={**PPO_HYPER, "log_std_init": -1.0},
+        gate=0.55, det_gate=True, budget_mult=2.5),
     "lowstd": dict(stages=[
         ({"dist_goal_reached_tol": 3.0}, 6 * M),
         ({"dist_goal_reached_tol": 2.0}, 6 * M),

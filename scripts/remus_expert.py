@@ -36,12 +36,20 @@ from gym_dockauv_tpu.ops.geom import ssa
 
 
 class ExpertGains(NamedTuple):
+    # PD gains live INSIDE the actuator's linear range: commands are clipped
+    # to +/-0.5 rad (the reference saturates fins at 30 deg = 0.52 rad,
+    # remus100.py:129-134) — the original gains (kp_theta=6, kd_theta=3,
+    # unclipped) commanded +/-4 rad, i.e. bang-bang through the 1 s actuator
+    # lag, and the pitch loop limit-cycled at +/-12 deg (55 deg pk-pk).
+    # CPU sweep: kp=0.8/kd=1.6 settles a 2 m depth step in 4.3 s with 0.5 deg
+    # residual oscillation; heading kp=2/kd=2 settles a 46 deg step in 3 s.
     kp_psi: float = 2.0      # rudder P on heading error (rad->rad)
-    kd_psi: float = 4.0      # rudder D on yaw rate
+    kd_psi: float = 2.0      # rudder D on yaw rate
     k_z: float = 0.35        # depth error (m) -> pitch command (rad)
     theta_max: float = 0.5   # pitch command clamp (rad)
-    kp_theta: float = 6.0    # stern P on pitch error
-    kd_theta: float = 3.0    # stern D on pitch rate
+    kp_theta: float = 0.8    # stern P on pitch error
+    kd_theta: float = 1.6    # stern D on pitch rate
+    fin_clip: float = 0.5    # fin command clamp (rad)
     rpm_cruise: float = 1300.0
     rpm_approach: float = 1100.0
     rpm_turn: float = 550.0   # crawl while the heading error is large
@@ -134,13 +142,15 @@ def expert_action(state, g: ExpertGains = ExpertGains()):
     e_psi = ssa(psi_d - psi)
     # probe note: the 10 s open-loop probe shows psi wrapping (+0.61 rad/s
     # x 10 s = +6.1 rad -> ssa -1.44); positive delta_r yields POSITIVE yaw
-    delta_r = g.kp_psi * e_psi - g.kd_psi * r
+    delta_r = jnp.clip(g.kp_psi * e_psi - g.kd_psi * r,
+                       -g.fin_clip, g.fin_clip)
 
     # --- depth (stern plane) ---------------------------------------------
     e_z = wp[2] - pos[2]  # NED: positive = need to go deeper
     theta_d = jnp.clip(-g.k_z * e_z, -g.theta_max, g.theta_max)
     e_theta = ssa(theta_d - theta)
-    delta_s = g.kp_theta * e_theta - g.kd_theta * q
+    delta_s = jnp.clip(g.kp_theta * e_theta - g.kd_theta * q,
+                       -g.fin_clip, g.fin_clip)
 
     # turn-first-then-go: full thrust with a large heading error sweeps the
     # turning circle through the ring band (measured: 77% of collisions at
