@@ -13,6 +13,7 @@ import importlib
 import inspect
 import os
 import pkgutil
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -23,7 +24,10 @@ PKG = "gym_dockauv_tpu"
 
 def _sig(obj) -> str:
     try:
-        return str(inspect.signature(obj))
+        sig = str(inspect.signature(obj))
+        # default-value reprs of plain objects embed memory addresses,
+        # which would churn the generated files on every run
+        return re.sub(r" object at 0x[0-9a-f]+", " object", sig)
     except (ValueError, TypeError):
         return "(...)"
 

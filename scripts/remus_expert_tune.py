@@ -26,17 +26,20 @@ from scripts.remus_expert import ExpertGains, expert_action
 
 
 def make_grid():
-    """A curated sweep (full cross product would be thousands)."""
+    """A curated sweep (full cross product would be thousands).
+
+    Inner-loop PD gains are FIXED at the stabilized values (see ExpertGains
+    docstring); the sweep covers the outer guidance parameters, which all
+    interact with the 0.5-1 m/s grid current and the 2.6 m turn radius."""
     combos = []
-    for (kp, kd), rpm_c, wp_r, margin, crawl_rmin, lead in itertools.product(
-            [(2.0, 4.0), (3.0, 3.0)],        # heading PD
-            [1000.0, 1300.0],                # cruise rpm
+    for rpm_c, wp_r, margin, crawl_rmin, (r_orb, lead) in itertools.product(
+            [900.0, 1300.0],                 # cruise rpm
             [4.5, 6.0],                      # crossing waypoint radius
             [2.4, 2.9],                      # avoid margin
             [0.0, 6.5, 99.0],                # crawl: always / outside / never
-            [0.55, 0.9]):                    # orbit lead
+            [(3.9, 0.55), (3.9, 0.9), (4.5, 0.7)]):  # orbit radius x lead
         combos.append(ExpertGains(
-            kp_psi=kp, kd_psi=kd, rpm_cruise=rpm_c, wp_cross_r=wp_r,
+            rpm_cruise=rpm_c, wp_cross_r=wp_r, r_orbit=r_orb,
             avoid_margin=margin, crawl_rmin=crawl_rmin, orbit_lead=lead))
     return combos
 
