@@ -107,6 +107,15 @@ class EnvConfig:
     # docking3d.py:884-888); a positive margin makes the terminal approach
     # forgiving early in a curriculum, annealed back to the true 0.
     goal_radius_margin: float = 0.0
+    # Scales the REMUS fin action bounds (+/-10 rad in the reference,
+    # remus100.py u_bound).  The actuator saturates at 30 deg = 0.52 rad
+    # (remus100.py:129-134), so only ~5% of the +/-10 rad command range is
+    # in the actuator's linear band — a scaled policy's fin channels are
+    # effectively bang-bang.  fin_bound_scale=0.1 trains over +/-1 rad
+    # (a strict SUBSET of the true action space: the dynamics are identical
+    # for any command the policy emits, so a policy trained at 0.1
+    # evaluates on the true env exactly).
+    fin_bound_scale: float = 1.0
 
     def replace(self, **kwargs) -> "EnvConfig":
         return dataclasses.replace(self, **kwargs)

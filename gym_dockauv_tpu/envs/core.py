@@ -124,6 +124,8 @@ class DockingEnv:
             self.remus = remus_dyn.build_remus_params(dtype=dtype)
             self.vehicle = None
             self.u_bound = REMUS_U_BOUND.copy()
+            # training-only knob (see EnvConfig.fin_bound_scale); 1.0 = parity
+            self.u_bound[0:2, :] *= cfg.fin_bound_scale
             self.n_actions = 3
         else:
             raise KeyError(f"Unknown family {family!r}")

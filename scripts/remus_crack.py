@@ -260,18 +260,44 @@ VARIANTS = {
     # center-capsule collision boundary (the reference puts it exactly ON
     # it) and anneals back to the true 0.  Final stage is the exact
     # reference config.
+    # fin_bound_scale=0.1 rides along in EVERY stage (incl. the last): it
+    # maps the policy's +/-1 to +/-1 rad instead of the reference's +/-10
+    # rad fin bound, of which only the +/-0.52 rad actuator-saturation band
+    # does anything — with the raw bound, a scaled policy's fin channels
+    # are bang-bang (std 1.0 -> 96% of samples saturate) which both blinds
+    # exploration and caps terminal precision.  The trained policy's
+    # commands are a strict subset of the true action space, so the final
+    # true-config eval is exact.
     "shrinkwrap": dict(stages=[
         ({"dist_goal_reached_tol": 3.0, "ring_radius_scale": 0.2,
-          "goal_radius_margin": 1.5}, 6 * M),
+          "goal_radius_margin": 1.5, "fin_bound_scale": 0.1}, 6 * M),
         ({"dist_goal_reached_tol": 2.0, "ring_radius_scale": 0.5,
-          "goal_radius_margin": 1.0}, 6 * M),
+          "goal_radius_margin": 1.0, "fin_bound_scale": 0.1}, 6 * M),
         ({"dist_goal_reached_tol": 1.2, "ring_radius_scale": 0.8,
-          "goal_radius_margin": 0.5}, 8 * M),
+          "goal_radius_margin": 0.5, "fin_bound_scale": 0.1}, 8 * M),
         ({"dist_goal_reached_tol": 0.8, "ring_radius_scale": 1.0,
-          "goal_radius_margin": 0.2}, 8 * M),
-        ({"dist_goal_reached_tol": 0.65}, 8 * M),
-        ({}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
+          "goal_radius_margin": 0.2, "fin_bound_scale": 0.1}, 8 * M),
+        ({"dist_goal_reached_tol": 0.65, "fin_bound_scale": 0.1}, 8 * M),
+        # NOTE target_kl=0.05 was tried as a collapse guard and REMOVED:
+        # at the initial std 1.0 it truncates most PPO epochs (det success
+        # 0.16 @ 12M vs 0.55 @ 12M for the same stage without it)
+        ({"fin_bound_scale": 0.1}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
         gate=0.55, det_gate=True, budget_mult=2.5),
+    # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
+    # to 1.00 in round 1; entropy-regularized exploration is gentler than
+    # PPO's initial std-1.0 bang-bang on this collision-dominated task)
+    "sac_shrink": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "ring_radius_scale": 0.2,
+          "goal_radius_margin": 1.5, "fin_bound_scale": 0.1}, 2 * M),
+        ({"dist_goal_reached_tol": 2.0, "ring_radius_scale": 0.5,
+          "goal_radius_margin": 1.0, "fin_bound_scale": 0.1}, 2 * M),
+        ({"dist_goal_reached_tol": 1.2, "ring_radius_scale": 0.8,
+          "goal_radius_margin": 0.5, "fin_bound_scale": 0.1}, 3 * M),
+        ({"dist_goal_reached_tol": 0.8, "ring_radius_scale": 1.0,
+          "goal_radius_margin": 0.2, "fin_bound_scale": 0.1}, 3 * M),
+        ({"dist_goal_reached_tol": 0.65, "fin_bound_scale": 0.1}, 3 * M),
+        ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
+        vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
     # geometry ladder: collisions dominate every tolerance ladder (0.6-0.7
     # of episodes end on the ring or center capsule), so learn PRECISION
     # first on CapsuleCurrent (same goal-on-the-capsule-shaft task, same
