@@ -283,6 +283,32 @@ VARIANTS = {
         # 0.16 @ 12M vs 0.55 @ 12M for the same stage without it)
         ({"fin_bound_scale": 0.1}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
         gate=0.55, det_gate=True, budget_mult=2.5),
+    # ladder2 supersedes shrinkwrap: a random-policy probe on shrinkwrap's
+    # stage 0 showed 91% of collisions at the SCALED-DOWN ring — capsules
+    # at r=0.2 are nearly invisible to the 63-ray radar while their
+    # collision shell is still 1.2 m (0.2 + safety 1.0), i.e. the "easy"
+    # ring was an invisible wall belt and trained policies collided MORE
+    # than random (0.5-0.6 vs 0.27).  So: learn the precision task on
+    # CapsuleCurrent (no ring; goal-margin + tolerance annealing with the
+    # fin fix), then introduce the ring at FULL radar-visible size with a
+    # brief precision relaxation.
+    "ladder2": dict(stages=[
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 3.0, "goal_radius_margin": 1.5,
+          "fin_bound_scale": 0.1}, 5 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.8,
+          "fin_bound_scale": 0.1}, 5 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 0.8, "goal_radius_margin": 0.3,
+          "fin_bound_scale": 0.1}, 6 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "fin_bound_scale": 0.1}, 6 * M),
+        ({"dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.5,
+          "fin_bound_scale": 0.1}, 8 * M),
+        ({"dist_goal_reached_tol": 0.8, "fin_bound_scale": 0.1}, 8 * M),
+        ({"fin_bound_scale": 0.1}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
+        gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)
