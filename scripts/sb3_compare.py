@@ -32,6 +32,9 @@ KIND_TO_REF = {
     "Capsule": "CapsuleDocking3d",
     "CapsuleCurrent": "CapsuleCurrentDocking3d",
     "Obstacles": "ObstaclesDocking3d",
+    # REMUS family (full nonlinear remus100 dynamics, grid current)
+    "SimpleRemus": "SimpleDocking3d_remus",
+    "ObstaclesCurrentRemus": "ObstaclesCurrentDocking3d_remus",
 }
 
 
@@ -65,10 +68,18 @@ def run_sb3(algo, kind, steps, seed):
 
     import numpy as np
 
-    import gym_dockauv.envs.docking3d as ref_dock
-    from gym_dockauv.config.env_config import TRAIN_CONFIG as REF_TRAIN
+    if kind.endswith("Remus"):
+        import gym_dockauv.envs.docking3d_remus as ref_dock
+        from gym_dockauv.config.env_config import (
+            TRAIN_CONFIG_remus as REF_TRAIN,
+        )
+    else:
+        import gym_dockauv.envs.docking3d as ref_dock
+        from gym_dockauv.config.env_config import TRAIN_CONFIG as REF_TRAIN
 
     cfg = copy.deepcopy(REF_TRAIN)
+    if kind.endswith("Remus"):
+        cfg["vehicle"] = "remus100"  # as main_remus.py:50 does
     cfg["save_path_folder"] = os.path.join("/tmp", "sb3_cmp", f"{algo}_{kind}_{seed}")
     os.makedirs(cfg["save_path_folder"], exist_ok=True)
     cfg["verbose"] = 0
@@ -126,12 +137,19 @@ def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
     from gym_dockauv_tpu.rl import PPO, SAC
 
     env_id = f"{KIND_TO_REF[kind]}-v0"
+    env = env_id
+    if kind.endswith("Remus"):
+        # mirror the SB3 side's TRAIN_CONFIG_remus (w_velocity etc.)
+        from gym_dockauv_tpu.config.env_config import TRAIN_CONFIG_REMUS
+        from gym_dockauv_tpu.train import make_gym
+
+        env = make_gym(env_id, TRAIN_CONFIG_REMUS())
     if algo == "ppo":
-        model = PPO(env=env_id, n_envs=n_envs, seed=seed)
+        model = PPO(env=env, n_envs=n_envs, seed=seed)
     else:
         # jit_iters only fuses host dispatches (semantics per cycle are
         # unchanged); n_envs=1 SAC is dispatch-bound on CPU without it
-        model = SAC(env=env_id, n_envs=n_envs, seed=seed, jit_iters=50,
+        model = SAC(env=env, n_envs=n_envs, seed=seed, jit_iters=50,
                     buffer_size=min(1_000_000, max(steps, 10_000)))
     model.ep_info_buffer = deque(maxlen=10 ** 9)  # keep the full history
     episodes = []
