@@ -309,6 +309,29 @@ VARIANTS = {
         ({"dist_goal_reached_tol": 0.8, "fin_bound_scale": 0.1}, 8 * M),
         ({"fin_bound_scale": 0.1}, 12 * M)], algo="ppo", hyper=PPO_HYPER,
         gate=0.55, det_gate=True, budget_mult=2.5),
+    # SAC on the ladder2 stage geometry.  PPO collapsed mid-stage twice on
+    # this task family (lowstd stage 3: 0.32 -> 0.08; ladder2 stage 1:
+    # 0.29 -> 0.05, budget exhausted) while SAC trained SimpleRemus to 1.00
+    # in round 1 without incident — off-policy replay + entropy temperature
+    # don't share PPO's unlearning failure mode here.
+    "sac_ladder": dict(stages=[
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 3.0, "goal_radius_margin": 1.5,
+          "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.8,
+          "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "dist_goal_reached_tol": 0.8, "goal_radius_margin": 0.3,
+          "fin_bound_scale": 0.1}, 2 * M),
+        ({"env_id": "CapsuleCurrentDocking3d_remus-v0",
+          "fin_bound_scale": 0.1}, 2 * M),
+        ({"dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.5,
+          "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"dist_goal_reached_tol": 0.8, "fin_bound_scale": 0.1},
+         int(2.5 * M)),
+        ({"fin_bound_scale": 0.1}, 3 * M)], algo="sac", hyper=SAC_HYPER,
+        vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)
