@@ -276,6 +276,12 @@ def report():
               " so the scenario needs curriculum training in either"
               " framework (docs/performance.md) — matching failure"
               " modes are also parity evidence.",
+              "- **SAC / SimpleRemus**: on the full nonlinear REMUS"
+              " dynamics both frameworks sit in the same pre-takeoff"
+              " regime at the 150k-step cut (success <=0.07, trailing"
+              " reward -160 sb3 vs -124 ours) — matching early-curve"
+              " shape; our SAC reaches 1.00 on this env with longer"
+              " training (docs/sac_remus_learning_curve.png).",
               "- Wall-clock: ours trains the same 300k-step PPO run in"
               " ~46 s vs SB3's ~1,800 s on the same CPU (39x), with the"
               " TPU path far faster still (docs/performance.md).", ""]
