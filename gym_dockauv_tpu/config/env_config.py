@@ -116,6 +116,18 @@ class EnvConfig:
     # for any command the policy emits, so a policy trained at 0.1
     # evaluates on the true env exactly).
     fin_bound_scale: float = 1.0
+    # Reverse spawn curriculum: per episode, the spawn point is lerped
+    # toward the goal, spawn' = goal + lam * (spawn - goal) with
+    # lam ~ U(spawn_lerp_min, 1).  At the default 1.0 the spawn is exactly
+    # the reference's (fixed [-8,0,0] for the remus family,
+    # docking3d_remus.py:908-914).  Annealing spawn_lerp_min 0.1 -> 1.0
+    # keeps the FULL env fixed across curriculum stages (ring present,
+    # radar-visible, collisions terminal) while the start state sweeps
+    # from trivially-near-goal out to the true spawn — unlike geometry
+    # ladders, every stage's replay data comes from the true MDP.  A
+    # lerped spawn that lands inside an obstacle's collision shell falls
+    # back to the true spawn for that episode.
+    spawn_lerp_min: float = 1.0
 
     def replace(self, **kwargs) -> "EnvConfig":
         return dataclasses.replace(self, **kwargs)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config.env_config import _KINDS, EnvConfig
-from ..ops import geom
+from ..ops import geom, rays
 from ..ops.rays import vec_line_point
 
 # Scenario constants (docking3d.py:820-956)
@@ -143,6 +143,24 @@ def sample_scenario(
             cap_b = cap_b.at[start + i].set(top)
             cap_r = cap_r.at[start + i].set(_RING_RADIUS * cfg.ring_radius_scale)
             cap_valid = cap_valid.at[start + i].set(True)
+
+    # --- reverse spawn curriculum (training-only; default 1.0 is a no-op
+    # that leaves the reference spawn untouched) --------------------------
+    if cfg.spawn_lerp_min < 1.0:
+        k_lerp = jax.random.fold_in(k_pos, 0x5CA1)
+        lam = jax.random.uniform(
+            k_lerp, (), dtype=dtype, minval=cfg.spawn_lerp_min, maxval=1.0
+        )
+        lerped = goal + lam * (spawn_pos - goal)
+        # Fall back to the true spawn if the lerped point sits inside an
+        # obstacle's collision shell (same predicate as the env's body
+        # collision, core.py _collision).  Spheres are never populated by
+        # these scenarios, so the capsule check suffices.
+        hit = rays.collide_capsules_sphere(
+            cap_a, cap_b, cap_r, cap_valid, lerped,
+            jnp.asarray(cfg.safety_radius, dtype),
+        )
+        spawn_pos = jnp.where(hit, spawn_pos, lerped)
 
     # --- current --------------------------------------------------------
     if kind == "SimpleCurrent":

@@ -332,6 +332,26 @@ VARIANTS = {
          int(2.5 * M)),
         ({"fin_bound_scale": 0.1}, 3 * M)], algo="sac", hyper=SAC_HYPER,
         vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
+    # sac_ladder post-mortem: the capsule-only stages trained fine (det
+    # 0.69 at true tolerance) but the policy collapsed when the ring
+    # geometry appeared (stage 4 peaked 0.46 then fell to ~0.05) — the
+    # capsule stages' replay taught "the radius-6 region is free space",
+    # and that stale data keeps training the critic after the switch.
+    # sac_spawn fixes the ROOT cause: every stage is the TRUE env (ring
+    # present, radar-visible, collisions terminal, true reward, true
+    # tolerance) and only the spawn anneals, spawn' = goal + lam*(spawn -
+    # goal) with lam ~ U(spawn_lerp_min, 1).  All replay transitions come
+    # from the true MDP at every stage — off-policy value learning is
+    # exactly valid across the whole ladder, and each stage's
+    # distribution is a superset reaching the true spawn.
+    "sac_spawn": dict(stages=[
+        ({"spawn_lerp_min": 0.05, "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"spawn_lerp_min": 0.2, "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"spawn_lerp_min": 0.4, "fin_bound_scale": 0.1}, 2 * M),
+        ({"spawn_lerp_min": 0.6, "fin_bound_scale": 0.1}, 2 * M),
+        ({"spawn_lerp_min": 0.8, "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
+        vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)

@@ -298,3 +298,40 @@ def test_timeout_boundary_parity(tmp_path):
     # (t_steps is incremented AFTER the done evaluation on the step where
     # the counter reaches the cap) — both implementations agree
     assert done_at == env.config.max_timesteps
+
+
+def test_spawn_lerp_curriculum_knob():
+    """spawn_lerp_min: default 1.0 reproduces the reference spawn exactly;
+    <1.0 places the spawn on the goal->spawn segment with lam in
+    [spawn_lerp_min, 1), never inside an obstacle's collision shell
+    (training-only knob; docking3d_remus.py:908-914 is the true spawn)."""
+    from gym_dockauv_tpu.envs.scenarios import sample_scenario
+    from gym_dockauv_tpu.ops.rays import dist_segment_point
+
+    true_spawn = np.array([-8.0, 0.0, 0.0])
+    cfg = TRAIN_CONFIG_REMUS()
+    for kind in ("Simple", "ObstaclesCurrent"):
+        scen = sample_scenario(cfg, "remus", kind, jax.random.PRNGKey(3))
+        np.testing.assert_array_equal(np.asarray(scen.spawn_pos), true_spawn)
+
+    cfg_lerp = cfg.replace(spawn_lerp_min=0.2)
+    for seed in range(24):
+        scen = sample_scenario(
+            cfg_lerp, "remus", "ObstaclesCurrent", jax.random.PRNGKey(seed)
+        )
+        goal = np.asarray(scen.goal)
+        sp = np.asarray(scen.spawn_pos)
+        # colinear: sp = goal + lam * (true_spawn - goal), same lam per axis
+        denom = true_spawn - goal
+        lam = (sp - goal) / denom
+        np.testing.assert_allclose(lam, lam[0], rtol=1e-5)
+        assert 0.2 - 1e-6 <= lam[0] <= 1.0 + 1e-6
+        # never inside a capsule collision shell
+        d = np.asarray(
+            dist_segment_point(
+                jnp.asarray(sp)[None, :], scen.cap_a, scen.cap_b
+            )
+        )
+        shell = np.asarray(scen.cap_r) + cfg.safety_radius
+        assert np.all(d[np.asarray(scen.cap_valid)] >
+                      shell[np.asarray(scen.cap_valid)])
