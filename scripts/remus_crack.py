@@ -352,6 +352,28 @@ VARIANTS = {
         ({"spawn_lerp_min": 0.8, "fin_bound_scale": 0.1}, int(2.5 * M)),
         ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
         vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
+    # sac_spawn post-mortem: success stayed AT the auto-success floor
+    # (the ~3% of lerped spawns that land inside tolerance) for 3M steps
+    # — det 0.02 flat.  Spawn proximity solves navigation, but the
+    # blocker is terminal precision: at the TRUE tol 0.5 m with the goal
+    # ON the capsule collision boundary, even 0.5 m-away starts collide
+    # (collision 0.3-0.5) before docking.  sac_full keeps sac_spawn's
+    # sound part (FULL obstacle field from stage 0, so replay never
+    # learns false free space — the geometry switch is what collapsed
+    # sac_ladder) and anneals the precision knobs (tolerance +
+    # goal_radius_margin, which sac_ladder's capsule stages tolerated
+    # fine across anneals) alongside the spawn lerp.
+    "sac_full": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "goal_radius_margin": 1.5,
+          "spawn_lerp_min": 0.05, "fin_bound_scale": 0.1}, 2 * M),
+        ({"dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.8,
+          "spawn_lerp_min": 0.2, "fin_bound_scale": 0.1}, 2 * M),
+        ({"dist_goal_reached_tol": 0.8, "goal_radius_margin": 0.3,
+          "spawn_lerp_min": 0.4, "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"spawn_lerp_min": 0.6, "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"spawn_lerp_min": 0.8, "fin_bound_scale": 0.1}, 3 * M),
+        ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
+        vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)
