@@ -128,6 +128,13 @@ class EnvConfig:
     # lerped spawn that lands inside an obstacle's collision shell falls
     # back to the true spawn for that episode.
     spawn_lerp_min: float = 1.0
+    # Upper edge of the spawn window: lam ~ U(spawn_lerp_min,
+    # spawn_lerp_max).  A window below 1 concentrates episodes near the
+    # goal (with lam ~ U(min, 1) half of all episodes start beyond the
+    # obstacle ring, so ring-crossing collisions dominate replay in every
+    # stage); sliding the window outward decouples the precision stages
+    # from the navigation stages.  Default 1.0 = reference spawn.
+    spawn_lerp_max: float = 1.0
 
     def replace(self, **kwargs) -> "EnvConfig":
         return dataclasses.replace(self, **kwargs)

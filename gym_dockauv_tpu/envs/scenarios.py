@@ -146,21 +146,27 @@ def sample_scenario(
 
     # --- reverse spawn curriculum (training-only; default 1.0 is a no-op
     # that leaves the reference spawn untouched) --------------------------
-    if cfg.spawn_lerp_min < 1.0:
+    if cfg.spawn_lerp_min < 1.0 or cfg.spawn_lerp_max < 1.0:
         k_lerp = jax.random.fold_in(k_pos, 0x5CA1)
         lam = jax.random.uniform(
-            k_lerp, (), dtype=dtype, minval=cfg.spawn_lerp_min, maxval=1.0
+            k_lerp, (), dtype=dtype, minval=cfg.spawn_lerp_min,
+            maxval=cfg.spawn_lerp_max,
         )
-        lerped = goal + lam * (spawn_pos - goal)
-        # Fall back to the true spawn if the lerped point sits inside an
-        # obstacle's collision shell (same predicate as the env's body
-        # collision, core.py _collision).  Spheres are never populated by
-        # these scenarios, so the capsule check suffices.
+        # A lerped point can sit inside an obstacle's collision shell (the
+        # goal itself sits ON the docking capsule's boundary, so chords
+        # that pass through the capsule bury the whole near window).  Walk
+        # lam outward along the chord and take the first collision-free
+        # candidate (same predicate as the env's body collision, core.py
+        # _collision; spheres are never populated by these scenarios).
+        # cand[-1] = 1.0 is the always-valid reference spawn.
+        cand = lam + (1.0 - lam) * jnp.linspace(0.0, 1.0, 9, dtype=dtype)
+        pts = goal[None, :] + cand[:, None] * (spawn_pos - goal)[None, :]
         hit = rays.collide_capsules_sphere(
-            cap_a, cap_b, cap_r, cap_valid, lerped,
+            cap_a[None], cap_b[None], cap_r[None], cap_valid[None], pts,
             jnp.asarray(cfg.safety_radius, dtype),
-        )
-        spawn_pos = jnp.where(hit, spawn_pos, lerped)
+        )  # (9,)
+        first_ok = jnp.argmax(~hit)
+        spawn_pos = jnp.where(jnp.all(hit), spawn_pos, pts[first_ok])
 
     # --- current --------------------------------------------------------
     if kind == "SimpleCurrent":

@@ -374,6 +374,34 @@ VARIANTS = {
         ({"spawn_lerp_min": 0.8, "fin_bound_scale": 0.1}, 3 * M),
         ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
         vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
+    # sac_full post-mortem: stage 0 passed its det gate but stage 1 peaked
+    # det 0.41 then declined — with lam ~ U(min, 1) HALF the episodes in
+    # every "near" stage still spawn beyond the obstacle ring (median
+    # lerped distance 5.8 m vs ring at 6 m), so ring-crossing collisions
+    # (0.4-0.5 of episodes) dominate replay in the precision stages, and
+    # the tol anneal and the spawn-out anneal landed together at stage 3.
+    # sac_full2 decouples them with a spawn WINDOW (spawn_lerp_min/max):
+    # precision is mastered to the TRUE tolerance entirely inside a
+    # near-goal window (ring still present + radar-visible the whole
+    # time, so replay never learns false free space), and only then does
+    # the window slide out to the true spawn at fixed true precision.
+    "sac_full2": dict(stages=[
+        ({"dist_goal_reached_tol": 3.0, "goal_radius_margin": 1.5,
+          "spawn_lerp_min": 0.05, "spawn_lerp_max": 0.35,
+          "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"dist_goal_reached_tol": 1.5, "goal_radius_margin": 0.8,
+          "spawn_lerp_min": 0.05, "spawn_lerp_max": 0.35,
+          "fin_bound_scale": 0.1}, int(1.5 * M)),
+        ({"dist_goal_reached_tol": 0.8, "goal_radius_margin": 0.3,
+          "spawn_lerp_min": 0.05, "spawn_lerp_max": 0.35,
+          "fin_bound_scale": 0.1}, 2 * M),
+        ({"spawn_lerp_min": 0.05, "spawn_lerp_max": 0.35,
+          "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"spawn_lerp_min": 0.2, "spawn_lerp_max": 0.6,
+          "fin_bound_scale": 0.1}, int(2.5 * M)),
+        ({"spawn_lerp_min": 0.5, "fin_bound_scale": 0.1}, 3 * M),
+        ({"fin_bound_scale": 0.1}, 4 * M)], algo="sac", hyper=SAC_HYPER,
+        vector_env=64, gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)

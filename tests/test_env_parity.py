@@ -314,7 +314,7 @@ def test_spawn_lerp_curriculum_knob():
         scen = sample_scenario(cfg, "remus", kind, jax.random.PRNGKey(3))
         np.testing.assert_array_equal(np.asarray(scen.spawn_pos), true_spawn)
 
-    cfg_lerp = cfg.replace(spawn_lerp_min=0.2)
+    cfg_lerp = cfg.replace(spawn_lerp_min=0.2, spawn_lerp_max=0.7)
     for seed in range(24):
         scen = sample_scenario(
             cfg_lerp, "remus", "ObstaclesCurrent", jax.random.PRNGKey(seed)
@@ -325,6 +325,8 @@ def test_spawn_lerp_curriculum_knob():
         denom = true_spawn - goal
         lam = (sp - goal) / denom
         np.testing.assert_allclose(lam, lam[0], rtol=1e-5)
+        # lam inside the window, or pushed outward along the chord (up to
+        # the reference spawn at lam=1) by the collision-shell fallback
         assert 0.2 - 1e-6 <= lam[0] <= 1.0 + 1e-6
         # never inside a capsule collision shell
         d = np.asarray(
