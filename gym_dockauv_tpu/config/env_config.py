@@ -135,6 +135,21 @@ class EnvConfig:
     # stage); sliding the window outward decouples the precision stages
     # from the navigation stages.  Default 1.0 = reference spawn.
     spawn_lerp_max: float = 1.0
+    # Extra clearance (m) added to the collision shell in the lerped-spawn
+    # chord walk.  The REMUS spawns at rest with a 1 s actuator lag; a
+    # spawn adjacent to a shell gets drifted into collision by the
+    # 0.5-1 m/s grid current before the prop spins up — a structural
+    # collision floor for near-goal spawns.  Only affects lerped spawns.
+    spawn_clearance: float = 0.0
+    # Initial surge velocity (m/s) at spawn (and, for the remus family, a
+    # matching pre-spun propeller rpm).  The reference spawns at rest; a
+    # cruise-speed start makes near-goal curriculum episodes match the
+    # real task's arrive-at-speed terminal approach instead of teaching
+    # docking-from-rest.  Default 0.0 = reference-exact rest start.
+    spawn_speed: float = 0.0
+    # Aim the spawn attitude at the goal (yaw = bearing, pitch = clipped
+    # elevation, roll = 0) instead of the reference's random attitude.
+    spawn_aim: bool = False
 
     def replace(self, **kwargs) -> "EnvConfig":
         return dataclasses.replace(self, **kwargs)

@@ -190,15 +190,23 @@ class DockingEnv:
 
     def _state_from_scenario(self, scen: Scenario, key: jax.Array, episode) -> EnvState:
         dt = self.dtype
-        vehicle = jnp.concatenate(
-            [scen.spawn_pos, scen.spawn_att, jnp.zeros(6, dtype=dt)]
-        )
+        nu0 = jnp.zeros(6, dtype=dt)
+        u_actual0 = jnp.zeros((3,), dtype=dt)
+        if self.config.spawn_speed:
+            # training-only cruise-speed start (config.spawn_speed doc):
+            # surge velocity + pre-spun prop (linear rpm map from the
+            # 1525 rpm = 2.5 m/s REMUS spec, remus100.py:9-10)
+            nu0 = nu0.at[0].set(jnp.asarray(self.config.spawn_speed, dt))
+            if self.family == "remus":
+                u_actual0 = u_actual0.at[2].set(
+                    jnp.asarray(self.config.spawn_speed / 2.5 * 1525.0, dt))
+        vehicle = jnp.concatenate([scen.spawn_pos, scen.spawn_att, nu0])
         nu_c0 = self._nu_c(scen.v_c_init, scen.cur_alpha, scen.cur_beta,
                            scen.spawn_att, scen.spawn_pos)
         return EnvState(
             vehicle=vehicle,
             u=jnp.zeros((self.n_actions,), dtype=dt),
-            u_actual=jnp.zeros((3,), dtype=dt),
+            u_actual=u_actual0,
             state_dot=jnp.zeros((12,), dtype=dt),
             last_attitude=jnp.zeros((3,), dtype=dt),
             last_position=jnp.zeros((3,), dtype=dt),

@@ -163,10 +163,20 @@ def sample_scenario(
         pts = goal[None, :] + cand[:, None] * (spawn_pos - goal)[None, :]
         hit = rays.collide_capsules_sphere(
             cap_a[None], cap_b[None], cap_r[None], cap_valid[None], pts,
-            jnp.asarray(cfg.safety_radius, dtype),
+            jnp.asarray(cfg.safety_radius + cfg.spawn_clearance, dtype),
         )  # (9,)
         first_ok = jnp.argmax(~hit)
         spawn_pos = jnp.where(jnp.all(hit), spawn_pos, pts[first_ok])
+
+    if cfg.spawn_aim:
+        # face the goal: yaw = bearing, pitch cancels the elevation error
+        # (attitude[1] + ssa(arctan2(dz, dxy)) = 0, core.py _nav_errors)
+        diff = goal - spawn_pos
+        yaw = jnp.arctan2(diff[1], diff[0])
+        pitch = jnp.clip(
+            -jnp.arctan2(diff[2], jnp.linalg.norm(diff[:2])), -0.5, 0.5
+        )
+        spawn_att = jnp.stack([z, pitch, yaw])
 
     # --- current --------------------------------------------------------
     if kind == "SimpleCurrent":

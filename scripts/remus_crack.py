@@ -423,6 +423,32 @@ VARIANTS = {
         ({"fin_bound_scale": 0.1}, 4 * M)], algo="hersac",
         hyper={**SAC_HYPER, "n_sampled_goal": 4}, vector_env=64,
         gate=0.55, det_gate=True, budget_mult=2.5),
+    # her_window post-mortem context: HER alone rose slowly (0.10 -> 0.15
+    # at 2.5M) with collisions pinned at 0.35-0.40 — near-goal spawns
+    # start AT REST with a 1 s actuator lag next to the capsule shell,
+    # so the 0.5-1 m/s grid current drifts them into collision before
+    # the prop spins up (a floor HER cannot relabel away), and
+    # docking-from-rest is a different maneuver from the true task's
+    # arrive-at-speed approach.  her_cruise fixes the spawn KINEMATICS:
+    # cruise-speed aimed starts with a MODEST shell clearance (the goal
+    # sits 1 m off the capsule surface, so clearance > ~1 would erase the
+    # near window entirely), window annealing out to the exact reference
+    # spawn (rest, random attitude) last.
+    "her_cruise": dict(stages=[
+        ({"spawn_lerp_min": 0.05, "spawn_lerp_max": 0.35,
+          "spawn_clearance": 0.5, "spawn_speed": 1.5, "spawn_aim": True,
+          "fin_bound_scale": 0.1}, 3 * M),
+        ({"spawn_lerp_min": 0.2, "spawn_lerp_max": 0.6,
+          "spawn_clearance": 0.5, "spawn_speed": 1.5, "spawn_aim": True,
+          "fin_bound_scale": 0.1}, 3 * M),
+        ({"spawn_lerp_min": 0.5, "spawn_clearance": 0.5,
+          "spawn_speed": 1.5, "spawn_aim": True,
+          "fin_bound_scale": 0.1}, 3 * M),
+        ({"spawn_speed": 1.5, "spawn_aim": True,
+          "fin_bound_scale": 0.1}, 3 * M),
+        ({"fin_bound_scale": 0.1}, 4 * M)], algo="hersac",
+        hyper={**SAC_HYPER, "n_sampled_goal": 4}, vector_env=64,
+        gate=0.55, det_gate=True, budget_mult=2.5),
     # off-policy version of shrinkwrap (SAC cracked SimpleDocking3d_remus
     # to 1.00 in round 1; entropy-regularized exploration is gentler than
     # PPO's initial std-1.0 bang-bang on this collision-dominated task)

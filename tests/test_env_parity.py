@@ -337,3 +337,46 @@ def test_spawn_lerp_curriculum_knob():
         shell = np.asarray(scen.cap_r) + cfg.safety_radius
         assert np.all(d[np.asarray(scen.cap_valid)] >
                       shell[np.asarray(scen.cap_valid)])
+
+
+def test_spawn_kinematics_knobs():
+    """spawn_speed / spawn_aim / spawn_clearance: defaults reproduce the
+    reference rest-start exactly; set, they give a cruise-speed aimed
+    start with shell clearance (training-only knobs, docs/parity.md)."""
+    from gym_dockauv_tpu.envs.core import make_env
+    from gym_dockauv_tpu.envs.scenarios import sample_scenario
+    from gym_dockauv_tpu.ops.rays import dist_segment_point
+
+    env0 = make_env("ObstaclesCurrentDocking3d_remus-v0")
+    s0, _ = env0.reset(jax.random.PRNGKey(0))
+    assert float(jnp.abs(s0.vehicle[6:12]).max()) == 0.0
+    assert float(jnp.abs(s0.u_actual).max()) == 0.0
+
+    cfg = TRAIN_CONFIG_REMUS().replace(
+        spawn_lerp_min=0.05, spawn_lerp_max=0.35, spawn_clearance=0.5,
+        spawn_speed=1.5, spawn_aim=True)
+    env = DockingEnv(cfg, family="remus", kind="ObstaclesCurrent")
+    for seed in range(8):
+        st, _ = env.reset(jax.random.PRNGKey(seed))
+        np.testing.assert_allclose(float(st.vehicle[6]), 1.5, rtol=1e-6)
+        np.testing.assert_allclose(float(st.u_actual[2]), 1.5 / 2.5 * 1525,
+                                   rtol=1e-6)
+        # aimed: nav errors vanish at spawn (yaw = bearing, pitch cancels
+        # elevation)
+        pos, att = st.vehicle[:3], st.vehicle[3:6]
+        diff = st.goal - pos
+        import gym_dockauv_tpu.ops.geom as geom
+        d_psi = float(geom.ssa(jnp.arctan2(diff[1], diff[0]) - att[2]))
+        d_theta = float(att[1] + geom.ssa(
+            jnp.arctan2(diff[2], jnp.linalg.norm(diff[:2]))))
+        assert abs(d_psi) < 1e-5
+        assert abs(d_theta) < 0.6  # exact unless the pitch clip engaged
+        assert float(att[0]) == 0.0
+        # clearance respected, unless the chord walk exhausted and fell
+        # back to the (always reference-legal) true spawn
+        d = np.asarray(dist_segment_point(pos[None, :], st.cap_a, st.cap_b))
+        shell = np.asarray(st.cap_r) + cfg.safety_radius + 0.5
+        valid = np.asarray(st.cap_valid)
+        clear = np.all(d[valid] > shell[valid] - 1e-5)
+        at_true_spawn = np.allclose(np.asarray(pos), [-8.0, 0.0, 0.0])
+        assert clear or at_true_spawn
