@@ -49,9 +49,55 @@ OUT = "logs/remus_crack"
 
 
 def capsule_sdf(state, position):
+    """Signed distance to the collision shells (cap_r + safety 1.0),
+    split center (idx 0, carries the goal) vs ring (idx 1+): collision
+    telemetry on the apgB policy showed 61% of collisions are RING hits
+    at median delta_d=6.0 (mid-flight), which need early repulsion,
+    while the center shell carries the goal ON it and tolerates none."""
     d = rays.dist_segment_point(position[..., None, :], state.cap_a, state.cap_b)
     sdf = d - state.cap_r - 1.0
-    return jnp.min(jnp.where(state.cap_valid, sdf, jnp.inf), axis=-1)
+    sdf = jnp.where(state.cap_valid, sdf, jnp.inf)
+    return sdf[..., 0], jnp.min(sdf[..., 1:], axis=-1)
+
+
+def geodesic_distance(position, goal, radius=1.9):
+    """Distance from position to goal going AROUND the center capsule's
+    shell circle (xy-projection; tangent-arc-tangent closed form).
+
+    Failure telemetry on the apgF policy: far-side goals succeed 0.205
+    vs near-side 0.605, and 90/97 fatal center-shell collisions are
+    far-side — the Euclidean delta_d gradient pulls straight THROUGH
+    the capsule.  The geodesic's gradient pulls around it.  radius is
+    set slightly under the true 2.0 m shell so the on-shell goal stays
+    strictly outside the circle (the survival term owns the last 10 cm).
+    Smoothly equals the straight-line distance whenever the segment
+    clears the circle.
+    """
+    p, g = position[:2], goal[:2]
+    dz = position[2] - goal[2]
+    np_, ng = jnp.linalg.norm(p), jnp.linalg.norm(g)
+    straight = jnp.linalg.norm(p - g)
+    # distance from the circle center (origin) to the segment p-g
+    t = jnp.clip(jnp.dot(-p, g - p) / (straight ** 2 + 1e-12), 0.0, 1.0)
+    seg_d = jnp.linalg.norm(p + t * (g - p))
+    blocked = seg_d < radius
+    safe_np = jnp.maximum(np_, radius + 1e-4)
+    safe_ng = jnp.maximum(ng, radius + 1e-4)
+    lp = jnp.sqrt(jnp.maximum(safe_np ** 2 - radius ** 2, 1e-8))
+    lg = jnp.sqrt(jnp.maximum(safe_ng ** 2 - radius ** 2, 1e-8))
+    # keep arccos args strictly inside (-1, 1): d/dx arccos = -1/sqrt(1-x^2)
+    # is infinite at +-1, and p,g colinear (straight-at-goal, the common
+    # case) lands exactly there — unguarded this made ~1/3 of instances'
+    # gradients non-finite (apgI run 1, bad=85/256)
+    eps = 1e-3
+    cosang = jnp.clip(jnp.dot(p, g) / (safe_np * safe_ng),
+                      -1.0 + eps, 1.0 - eps)
+    wrap = (jnp.arccos(cosang)
+            - jnp.arccos(jnp.clip(radius / safe_np, eps - 1.0, 1.0 - eps))
+            - jnp.arccos(jnp.clip(radius / safe_ng, eps - 1.0, 1.0 - eps)))
+    geo_xy = jnp.where(blocked, lp + lg + radius * jnp.maximum(wrap, 0.0),
+                       jnp.linalg.norm(p - g))
+    return jnp.sqrt(geo_xy ** 2 + dz ** 2)
 
 
 def mlp_init(key, sizes):
@@ -97,6 +143,15 @@ def main():
                     "(measured, apg run 1)")
     ap.add_argument("--init-params", default=None,
                     help="warm-start policy pkl (phase B)")
+    ap.add_argument("--geodesic", action="store_true",
+                    help="guide the cost with the geodesic distance "
+                    "around the center shell instead of Euclidean "
+                    "delta_d (see geodesic_distance docstring)")
+    ap.add_argument("--mean-d", type=float, default=0.3,
+                    help="weight of the mean-distance shaping term; far-"
+                    "side goals need a detour AROUND the ring, which "
+                    "this term actively penalizes — lower it once the "
+                    "policy approaches reliably")
     ap.add_argument("--tag", default="apg",
                     help="output filename stem under logs/remus_crack/")
     args = ap.parse_args()
@@ -132,38 +187,41 @@ def main():
             raw = jnp.tanh(pre)
             a = low + (raw + 1.0) * 0.5 * (high - low)
             state, res = core.step(state, a)
-            sdf = capsule_sdf(state, res.info.position)
-            return (state, res.obs), (res.info.delta_d, sdf,
+            sdf0, sdfr = capsule_sdf(state, res.info.position)
+            dd = (geodesic_distance(res.info.position, state.goal)
+                  if args.geodesic else res.info.delta_d)
+            return (state, res.obs), (dd, sdf0, sdfr,
                                       jnp.mean(pre ** 2))
-        _, (d, sdf, pre2) = jax.lax.scan(
+        _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
             body, (state0, obs0), None, length=args.horizon)
-        return d, sdf, pre2
+        return d, sdf0, sdfr, pre2
 
     def instance_loss(params, state0, obs0):
-        d, sdf, pre2 = rollout(params, state0, obs0)
-        # pure penetration hinge (5 cm margin, 10 cm smoothing): the task
-        # terminal is ON the central capsule's collision shell, so any
-        # wider clearance margin actively repels the dock approach (the
-        # first loss rev used margin 0.1/weight 5.0 and never approached)
-        pen = jax.nn.softplus(-(sdf - 0.05) / 0.1) * 0.1
-        cum_pen = jnp.cumsum(pen)
-        cost = d + args.pen_weight * cum_pen
+        d, sdf0, sdfr, pre2 = rollout(params, state0, obs0)
+        # Smooth first-passage objective with episode semantics: eval
+        # TERMINATES on collision, so a rollout that grazes a shell and
+        # then "docks" must earn nothing.  Kill probability comes from
+        # the RUNNING MINIMUM of the shell SDF ("did you ever cross"),
+        # NOT a per-step survival product — docking means *sustained*
+        # proximity to the center shell (the goal sits exactly ON it:
+        # goal_radius_margin=0), so any per-step hazard accumulates to
+        # certain death over ~50 dock steps and flattens the objective
+        # (measured: apgE collapsed 0.41 -> 0.17).  The cummin gradient
+        # instead pushes only the single closest-approach step off the
+        # shell.  Center scale 5 cm (zero margin), ring 15 cm.
+        dead = (jax.nn.sigmoid(-jax.lax.cummin(sdf0) / 0.05)
+                + jax.nn.sigmoid(-jax.lax.cummin(sdfr) / 0.15))
+        # one-step LAG: goal_reached and collision latch on the SAME env
+        # step (core.py conditions[0]/[4] are independent), so a ballistic
+        # radial dock that pierces the shell on the step it enters the
+        # 0.5 m ball still counts as success — charge each step only for
+        # crossings BEFORE it, not on it.
+        dead = jnp.concatenate([jnp.zeros((1,), dead.dtype), dead[:-1]])
+        cost = d + args.pen_weight * dead
         tau = 0.3
         soft_min = -tau * jax.nn.logsumexp(-cost / tau)
-        return (soft_min + 0.3 * jnp.mean(d)
-                + 0.2 * args.pen_weight * jnp.mean(pen)
+        return (soft_min + args.mean_d * jnp.mean(d)
                 + args.act_reg * jnp.mean(pre2))
-
-    def batch_loss(params, keys):
-        states0, obs0 = jax.vmap(core.reset)(
-            keys, jnp.zeros((keys.shape[0],), jnp.int32))
-        losses = jax.vmap(instance_loss, in_axes=(None, 0, 0))(
-            params, states0, obs0)
-        # one unlucky instance (grad-singular geometry event) must not
-        # poison the batch: mask non-finite losses out of the mean
-        ok = jnp.isfinite(losses)
-        return jnp.sum(jnp.where(ok, losses, 0.0)) / jnp.maximum(
-            jnp.sum(ok), 1)
 
     sched = optax.cosine_decay_schedule(args.lr, args.iters, alpha=0.1)
     # b2=0.99: a single BPTT gradient spike at b2=0.999 poisons Adam's
@@ -177,14 +235,40 @@ def main():
     @jax.jit
     def train_step(params, opt_state, key):
         keys = jax.random.split(key, args.batch)
-        loss, g = jax.value_and_grad(batch_loss)(params, keys)
-        # BPTT through 300 dynamics steps occasionally spikes to inf
-        # (measured gnorm up to 1e5); clip_by_global_norm of an inf norm
-        # is 0*inf = NaN params, so zero non-finite leaves first
+        states0, obs0 = jax.vmap(core.reset)(
+            keys, jnp.zeros((args.batch,), jnp.int32))
+        # PER-INSTANCE grads, not grad-of-mean: with batch=128 x 300-step
+        # BPTT, >=1 instance per iteration hits a gradient-singular
+        # geometry event (inf grad with a FINITE loss), which made the
+        # summed batch grad non-finite every step -> sanitize-to-zero ->
+        # zero Adam updates -> policy frozen from iter ~300 (measured:
+        # det metrics + saturation bit-identical for 9.5k iters).  Mask
+        # bad instances and robust-clip each survivor before averaging.
+        losses, grads = jax.vmap(
+            lambda s0, o0: jax.value_and_grad(instance_loss)(
+                params, s0, o0))(states0, obs0)
+        gnorm = jnp.sqrt(jax.tree_util.tree_reduce(
+            jnp.add, jax.tree_util.tree_map(
+                lambda x: jnp.sum(
+                    x ** 2, axis=tuple(range(1, x.ndim))), grads)))
+        leaf_ok = jax.tree_util.tree_reduce(
+            jnp.logical_and,
+            jax.tree_util.tree_map(
+                lambda x: jnp.all(jnp.isfinite(x),
+                                  axis=tuple(range(1, x.ndim))), grads))
+        ok = jnp.isfinite(losses) & leaf_ok
+        n = jnp.maximum(jnp.sum(ok), 1)
+        scale = jnp.where(ok, jnp.minimum(1.0, 10.0 / (gnorm + 1e-8)),
+                          0.0) / n
+        # sanitize BEFORE the contraction: masked rows have scale 0 but
+        # inf/NaN leaves, and 0 * inf = NaN would poison the averaged grad
         g = jax.tree_util.tree_map(
-            lambda x: jnp.where(jnp.isfinite(x), x, 0.0), g)
+            lambda x: jnp.tensordot(
+                scale, jnp.where(jnp.isfinite(x), x, 0.0), axes=1), grads)
+        loss = jnp.sum(jnp.where(ok, losses, 0.0)) / n
         updates, opt_state = opt.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state, loss,
+                jnp.sum(~ok))
 
     # --- det eval with true episode semantics (done-latched) -------------
     def eval_rollout(params, key, n_episodes=256):
@@ -230,20 +314,26 @@ def main():
     best = (-1.0, None)
     for i in range(args.iters):
         key, k = jax.random.split(key)
-        params, opt_state, loss = train_step(params, opt_state, k)
+        params, opt_state, loss, bad = train_step(params, opt_state, k)
         if i % args.eval_every == 0 or i == args.iters - 1:
             suc, col = jit_eval(params, jax.random.PRNGKey(7777))
             sat = float(head_saturation(params, jax.random.PRNGKey(3)))
             suc, col = float(suc), float(col)
             history.append({"iter": i, "loss": float(loss),
                             "det_success": suc, "det_collision": col,
-                            "saturation": sat,
+                            "saturation": sat, "bad_grads": int(bad),
                             "wall_s": time.time() - t0})
             if suc > best[0]:
                 best = (suc, jax.tree_util.tree_map(np.asarray, params))
+                # persist on every improvement: runs are killed mid-flight
+                # when they plateau, and an end-of-run-only save loses the
+                # best params with them
+                with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
+                    pickle.dump(best[1], f)
             print(f"[{args.tag}] iter {i}: loss={float(loss):.3f} "
                   f"det_success={suc:.3f} det_collision={col:.3f} "
-                  f"sat={sat:.2f} ({time.time()-t0:.0f}s)", flush=True)
+                  f"sat={sat:.2f} bad={int(bad)} "
+                  f"({time.time()-t0:.0f}s)", flush=True)
 
     os.makedirs(OUT, exist_ok=True)
     suc, col = jit_eval(params, jax.random.PRNGKey(1234))
