@@ -101,6 +101,12 @@ class EnvConfig:
     # Annealing 0.2 -> 1.0 teaches ring navigation with fat safety margins
     # before the true 2 m collision shells (capsule r=1 + safety_radius).
     ring_radius_scale: float = 1.0
+    # Scales the radius of the CENTER docking capsule (Capsule*/Obstacles*
+    # kinds).  The goal's radial placement is NOT scaled (it stays at the
+    # true capsule_r + safety_radius), so a scale < 1 opens a clearance
+    # band between the goal and the collision shell — annealing it back
+    # to 1 closes the band until the goal sits exactly on the shell again.
+    center_radius_scale: float = 1.0
     # Extra radial offset (m) of the docking goal from the capsule shaft.
     # The reference places the goal EXACTLY on the vehicle's collision
     # boundary (goal radius = capsule radius + safety radius,

@@ -125,7 +125,7 @@ def sample_scenario(
         if not drop_center:
             cap_a = cap_a.at[0].set(vec_bot)
             cap_b = cap_b.at[0].set(vec_top)
-            cap_r = cap_r.at[0].set(_CAPSULE_RADIUS)
+            cap_r = cap_r.at[0].set(_CAPSULE_RADIUS * cfg.center_radius_scale)
             cap_valid = cap_valid.at[0].set(True)
 
     if has_ring:

@@ -380,3 +380,32 @@ def test_spawn_kinematics_knobs():
         clear = np.all(d[valid] > shell[valid] - 1e-5)
         at_true_spawn = np.allclose(np.asarray(pos), [-8.0, 0.0, 0.0])
         assert clear or at_true_spawn
+
+
+def test_center_radius_scale_knob():
+    """center_radius_scale: default 1.0 reproduces the reference center
+    capsule exactly; <1.0 shrinks ONLY the capsule radius — the goal's
+    radial placement (capsule_r + safety_radius, docking3d.py:884-888)
+    and the ring capsules are untouched (training-only knob)."""
+    from gym_dockauv_tpu.envs.scenarios import (
+        sample_scenario, _CAPSULE_RADIUS)
+
+    cfg = TRAIN_CONFIG_REMUS()
+    for seed in range(4):
+        base = sample_scenario(
+            cfg, "remus", "ObstaclesCurrent", jax.random.PRNGKey(seed))
+        small = sample_scenario(
+            cfg.replace(center_radius_scale=0.5), "remus",
+            "ObstaclesCurrent", jax.random.PRNGKey(seed))
+        assert float(base.cap_r[0]) == _CAPSULE_RADIUS
+        assert float(small.cap_r[0]) == 0.5 * _CAPSULE_RADIUS
+        # goal placement and everything else identical
+        np.testing.assert_array_equal(np.asarray(base.goal),
+                                      np.asarray(small.goal))
+        np.testing.assert_array_equal(np.asarray(base.cap_r[1:]),
+                                      np.asarray(small.cap_r[1:]))
+        np.testing.assert_array_equal(np.asarray(base.cap_a),
+                                      np.asarray(small.cap_a))
+        # goal radius still on the TRUE shell: |goal_xy| = cap_r + safety
+        assert abs(np.linalg.norm(np.asarray(small.goal)[:2])
+                   - (_CAPSULE_RADIUS + cfg.safety_radius)) < 1e-5
