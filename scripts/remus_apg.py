@@ -60,7 +60,7 @@ def capsule_sdf(state, position):
     return sdf[..., 0], jnp.min(sdf[..., 1:], axis=-1)
 
 
-def geodesic_distance(position, goal, radius=1.9):
+def geodesic_distance(position, goal, radius=1.9, chirality="none"):
     """Distance from position to goal going AROUND the center capsule's
     shell circle (xy-projection; tangent-arc-tangent closed form).
 
@@ -90,11 +90,27 @@ def geodesic_distance(position, goal, radius=1.9):
     # case) lands exactly there — unguarded this made ~1/3 of instances'
     # gradients non-finite (apgI run 1, bad=85/256)
     eps = 1e-3
-    cosang = jnp.clip(jnp.dot(p, g) / (safe_np * safe_ng),
-                      -1.0 + eps, 1.0 - eps)
-    wrap = (jnp.arccos(cosang)
-            - jnp.arccos(jnp.clip(radius / safe_np, eps - 1.0, 1.0 - eps))
-            - jnp.arccos(jnp.clip(radius / safe_ng, eps - 1.0, 1.0 - eps)))
+    tan_p = jnp.arccos(jnp.clip(radius / safe_np, eps - 1.0, 1.0 - eps))
+    tan_g = jnp.arccos(jnp.clip(radius / safe_ng, eps - 1.0, 1.0 - eps))
+    if chirality == "none":
+        cosang = jnp.clip(jnp.dot(p, g) / (safe_np * safe_ng),
+                          -1.0 + eps, 1.0 - eps)
+        sweep = jnp.arccos(cosang)
+    else:
+        # FIXED-CHIRALITY detour: the obs gives no absolute position
+        # (radar is a forward cone, the nav head is goal-relative), so a
+        # memoryless policy cannot learn "go around the SHORTER way" —
+        # the shorter-side geodesic teaches opposite turns from nearly
+        # identical observations and caps far-side success at a coin
+        # flip (measured: near-side 0.605 vs far-side 0.205).  Forcing
+        # one detour direction costs <= pi*R ~ 6 m of path (~4 s at
+        # cruise, episode budget 100 s) and is learnable memorylessly.
+        th_p = jnp.arctan2(p[1], p[0])
+        th_g = jnp.arctan2(g[1], g[0])
+        sweep = jnp.mod(th_g - th_p, 2 * jnp.pi)      # ccw sweep p -> g
+        if chirality == "cw":
+            sweep = 2 * jnp.pi - sweep
+    wrap = sweep - tan_p - tan_g
     geo_xy = jnp.where(blocked, lp + lg + radius * jnp.maximum(wrap, 0.0),
                        jnp.linalg.norm(p - g))
     return jnp.sqrt(geo_xy ** 2 + dz ** 2)
@@ -147,14 +163,36 @@ def main():
                     help="guide the cost with the geodesic distance "
                     "around the center shell instead of Euclidean "
                     "delta_d (see geodesic_distance docstring)")
+    ap.add_argument("--chirality", default="none",
+                    choices=("none", "ccw", "cw"),
+                    help="force the geodesic detour direction (see "
+                    "geodesic_distance: fixed chirality is the "
+                    "memoryless-policy-compatible detour strategy)")
     ap.add_argument("--mean-d", type=float, default=0.3,
                     help="weight of the mean-distance shaping term; far-"
                     "side goals need a detour AROUND the ring, which "
                     "this term actively penalizes — lower it once the "
                     "policy approaches reliably")
+    ap.add_argument("--stages", default="",
+                    help="geometry homotopy: comma list of scale:iters "
+                    "(e.g. '0.4:2500,0.7:2500,1.0:5000').  Each stage "
+                    "trains on an env whose ring AND center capsule radii "
+                    "are scaled (goal placement unchanged, so scale<1 "
+                    "opens a clearance band around the on-shell goal); "
+                    "eval is ALWAYS the true scale-1.0 config.  APG has "
+                    "no replay to poison, so the moving MDP is safe — "
+                    "this is a continuation method, not a curriculum "
+                    "ladder.  Empty = single stage at 1.0 x --iters.")
     ap.add_argument("--tag", default="apg",
                     help="output filename stem under logs/remus_crack/")
     args = ap.parse_args()
+
+    if args.stages:
+        stages = [(float(s.split(":")[0]), int(s.split(":")[1]))
+                  for s in args.stages.split(",")]
+    else:
+        stages = [(1.0, args.iters)]
+    total_iters = sum(n for _, n in stages)
 
     core = make_env(ENV_ID)
     tol = float(core.config.dist_goal_reached_tol)
@@ -180,24 +218,31 @@ def main():
         raw = jnp.tanh(policy_pre(params, obs))
         return low + (raw + 1.0) * 0.5 * (high - low)
 
-    def rollout(params, state0, obs0):
-        def body(carry, _):
-            state, obs = carry
-            pre = policy_pre(params, obs)
-            raw = jnp.tanh(pre)
-            a = low + (raw + 1.0) * 0.5 * (high - low)
-            state, res = core.step(state, a)
-            sdf0, sdfr = capsule_sdf(state, res.info.position)
-            dd = (geodesic_distance(res.info.position, state.goal)
-                  if args.geodesic else res.info.delta_d)
-            return (state, res.obs), (dd, sdf0, sdfr,
-                                      jnp.mean(pre ** 2))
-        _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
-            body, (state0, obs0), None, length=args.horizon)
-        return d, sdf0, sdfr, pre2
+    def make_rollout(core_t, geo_r):
+        def rollout(params, state0, obs0):
+            def body(carry, _):
+                state, obs = carry
+                pre = policy_pre(params, obs)
+                raw = jnp.tanh(pre)
+                a = low + (raw + 1.0) * 0.5 * (high - low)
+                state, res = core_t.step(state, a)
+                sdf0, sdfr = capsule_sdf(state, res.info.position)
+                dd = (geodesic_distance(res.info.position, state.goal,
+                                        radius=geo_r,
+                                        chirality=args.chirality)
+                      if args.geodesic else res.info.delta_d)
+                return (state, res.obs), (dd, sdf0, sdfr,
+                                          jnp.mean(pre ** 2))
+            _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
+                body, (state0, obs0), None, length=args.horizon)
+            return d, sdf0, sdfr, pre2
+        return rollout
 
-    def instance_loss(params, state0, obs0):
-        d, sdf0, sdfr, pre2 = rollout(params, state0, obs0)
+    def make_instance_loss(core_t, geo_r):
+        rollout = make_rollout(core_t, geo_r)
+
+        def instance_loss(params, state0, obs0):
+            d, sdf0, sdfr, pre2 = rollout(params, state0, obs0)
         # Smooth first-passage objective with episode semantics: eval
         # TERMINATES on collision, so a rollout that grazes a shell and
         # then "docks" must earn nothing.  Kill probability comes from
@@ -209,21 +254,22 @@ def main():
         # (measured: apgE collapsed 0.41 -> 0.17).  The cummin gradient
         # instead pushes only the single closest-approach step off the
         # shell.  Center scale 5 cm (zero margin), ring 15 cm.
-        dead = (jax.nn.sigmoid(-jax.lax.cummin(sdf0) / 0.05)
-                + jax.nn.sigmoid(-jax.lax.cummin(sdfr) / 0.15))
-        # one-step LAG: goal_reached and collision latch on the SAME env
-        # step (core.py conditions[0]/[4] are independent), so a ballistic
-        # radial dock that pierces the shell on the step it enters the
-        # 0.5 m ball still counts as success — charge each step only for
-        # crossings BEFORE it, not on it.
-        dead = jnp.concatenate([jnp.zeros((1,), dead.dtype), dead[:-1]])
-        cost = d + args.pen_weight * dead
-        tau = 0.3
-        soft_min = -tau * jax.nn.logsumexp(-cost / tau)
-        return (soft_min + args.mean_d * jnp.mean(d)
-                + args.act_reg * jnp.mean(pre2))
+            dead = (jax.nn.sigmoid(-jax.lax.cummin(sdf0) / 0.05)
+                    + jax.nn.sigmoid(-jax.lax.cummin(sdfr) / 0.15))
+            # one-step LAG: goal_reached and collision latch on the SAME
+            # env step (core.py conditions[0]/[4] are independent), so a
+            # ballistic radial dock that pierces the shell on the step it
+            # enters the 0.5 m ball still counts as success — charge each
+            # step only for crossings BEFORE it, not on it.
+            dead = jnp.concatenate([jnp.zeros((1,), dead.dtype), dead[:-1]])
+            cost = d + args.pen_weight * dead
+            tau = 0.3
+            soft_min = -tau * jax.nn.logsumexp(-cost / tau)
+            return (soft_min + args.mean_d * jnp.mean(d)
+                    + args.act_reg * jnp.mean(pre2))
+        return instance_loss
 
-    sched = optax.cosine_decay_schedule(args.lr, args.iters, alpha=0.1)
+    sched = optax.cosine_decay_schedule(args.lr, total_iters, alpha=0.1)
     # b2=0.99: a single BPTT gradient spike at b2=0.999 poisons Adam's
     # second moment for thousands of iterations (measured: policy docks
     # all instances at iter ~150, then one spike freezes learning for the
@@ -232,43 +278,50 @@ def main():
                       optax.adam(learning_rate=sched, b2=0.99))
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state, key):
-        keys = jax.random.split(key, args.batch)
-        states0, obs0 = jax.vmap(core.reset)(
-            keys, jnp.zeros((args.batch,), jnp.int32))
-        # PER-INSTANCE grads, not grad-of-mean: with batch=128 x 300-step
-        # BPTT, >=1 instance per iteration hits a gradient-singular
-        # geometry event (inf grad with a FINITE loss), which made the
-        # summed batch grad non-finite every step -> sanitize-to-zero ->
-        # zero Adam updates -> policy frozen from iter ~300 (measured:
-        # det metrics + saturation bit-identical for 9.5k iters).  Mask
-        # bad instances and robust-clip each survivor before averaging.
-        losses, grads = jax.vmap(
-            lambda s0, o0: jax.value_and_grad(instance_loss)(
-                params, s0, o0))(states0, obs0)
-        gnorm = jnp.sqrt(jax.tree_util.tree_reduce(
-            jnp.add, jax.tree_util.tree_map(
-                lambda x: jnp.sum(
-                    x ** 2, axis=tuple(range(1, x.ndim))), grads)))
-        leaf_ok = jax.tree_util.tree_reduce(
-            jnp.logical_and,
-            jax.tree_util.tree_map(
-                lambda x: jnp.all(jnp.isfinite(x),
-                                  axis=tuple(range(1, x.ndim))), grads))
-        ok = jnp.isfinite(losses) & leaf_ok
-        n = jnp.maximum(jnp.sum(ok), 1)
-        scale = jnp.where(ok, jnp.minimum(1.0, 10.0 / (gnorm + 1e-8)),
-                          0.0) / n
-        # sanitize BEFORE the contraction: masked rows have scale 0 but
-        # inf/NaN leaves, and 0 * inf = NaN would poison the averaged grad
-        g = jax.tree_util.tree_map(
-            lambda x: jnp.tensordot(
-                scale, jnp.where(jnp.isfinite(x), x, 0.0), axes=1), grads)
-        loss = jnp.sum(jnp.where(ok, losses, 0.0)) / n
-        updates, opt_state = opt.update(g, opt_state)
-        return (optax.apply_updates(params, updates), opt_state, loss,
-                jnp.sum(~ok))
+    def make_train_step(core_t, geo_r):
+        instance_loss = make_instance_loss(core_t, geo_r)
+
+        @jax.jit
+        def train_step(params, opt_state, key):
+            keys = jax.random.split(key, args.batch)
+            states0, obs0 = jax.vmap(core_t.reset)(
+                keys, jnp.zeros((args.batch,), jnp.int32))
+            # PER-INSTANCE grads, not grad-of-mean: with batch=128 x
+            # 300-step BPTT, >=1 instance per iteration hits a gradient-
+            # singular geometry event (inf grad with a FINITE loss), which
+            # made the summed batch grad non-finite every step ->
+            # sanitize-to-zero -> zero Adam updates -> policy frozen from
+            # iter ~300 (measured: det metrics + saturation bit-identical
+            # for 9.5k iters).  Mask bad instances and robust-clip each
+            # survivor before averaging.
+            losses, grads = jax.vmap(
+                lambda s0, o0: jax.value_and_grad(instance_loss)(
+                    params, s0, o0))(states0, obs0)
+            gnorm = jnp.sqrt(jax.tree_util.tree_reduce(
+                jnp.add, jax.tree_util.tree_map(
+                    lambda x: jnp.sum(
+                        x ** 2, axis=tuple(range(1, x.ndim))), grads)))
+            leaf_ok = jax.tree_util.tree_reduce(
+                jnp.logical_and,
+                jax.tree_util.tree_map(
+                    lambda x: jnp.all(jnp.isfinite(x),
+                                      axis=tuple(range(1, x.ndim))), grads))
+            ok = jnp.isfinite(losses) & leaf_ok
+            n = jnp.maximum(jnp.sum(ok), 1)
+            scale = jnp.where(ok, jnp.minimum(1.0, 10.0 / (gnorm + 1e-8)),
+                              0.0) / n
+            # sanitize BEFORE the contraction: masked rows have scale 0
+            # but inf/NaN leaves, and 0 * inf = NaN would poison the
+            # averaged grad
+            g = jax.tree_util.tree_map(
+                lambda x: jnp.tensordot(
+                    scale, jnp.where(jnp.isfinite(x), x, 0.0), axes=1),
+                grads)
+            loss = jnp.sum(jnp.where(ok, losses, 0.0)) / n
+            updates, opt_state = opt.update(g, opt_state)
+            return (optax.apply_updates(params, updates), opt_state, loss,
+                    jnp.sum(~ok))
+        return train_step
 
     # --- det eval with true episode semantics (done-latched) -------------
     def eval_rollout(params, key, n_episodes=256):
@@ -309,35 +362,52 @@ def main():
         _, sat = jax.lax.scan(body, (states, obs), None, length=100)
         return jnp.mean(sat)
 
+    os.makedirs(OUT, exist_ok=True)
     t0 = time.time()
     history = []
     best = (-1.0, None)
-    for i in range(args.iters):
-        key, k = jax.random.split(key)
-        params, opt_state, loss, bad = train_step(params, opt_state, k)
-        if i % args.eval_every == 0 or i == args.iters - 1:
-            suc, col = jit_eval(params, jax.random.PRNGKey(7777))
-            sat = float(head_saturation(params, jax.random.PRNGKey(3)))
-            suc, col = float(suc), float(col)
-            history.append({"iter": i, "loss": float(loss),
-                            "det_success": suc, "det_collision": col,
-                            "saturation": sat, "bad_grads": int(bad),
-                            "wall_s": time.time() - t0})
-            if suc > best[0]:
-                best = (suc, jax.tree_util.tree_map(np.asarray, params))
-                # persist on every improvement: runs are killed mid-flight
-                # when they plateau, and an end-of-run-only save loses the
-                # best params with them
-                with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
-                    pickle.dump(best[1], f)
-            print(f"[{args.tag}] iter {i}: loss={float(loss):.3f} "
-                  f"det_success={suc:.3f} det_collision={col:.3f} "
-                  f"sat={sat:.2f} bad={int(bad)} "
-                  f"({time.time()-t0:.0f}s)", flush=True)
+    i = 0
+    for scale, stage_iters in stages:
+        if scale != 1.0:
+            import dataclasses as _dc
+            cfg_t = _dc.replace(core.config, ring_radius_scale=scale,
+                                center_radius_scale=scale)
+            core_t = make_env(ENV_ID, config=cfg_t)
+        else:
+            core_t = core
+        geo_r = (1.0 * scale + 1.0) - 0.1  # just inside the scaled shell
+        train_step = make_train_step(core_t, geo_r)
+        print(f"[{args.tag}] === stage scale={scale} iters={stage_iters} "
+              f"geo_r={geo_r:.2f} ===", flush=True)
+        for _ in range(stage_iters):
+            key, k = jax.random.split(key)
+            params, opt_state, loss, bad = train_step(params, opt_state, k)
+            if i % args.eval_every == 0 or i == total_iters - 1:
+                suc, col = jit_eval(params, jax.random.PRNGKey(7777))
+                sat = float(head_saturation(params, jax.random.PRNGKey(3)))
+                suc, col = float(suc), float(col)
+                history.append({"iter": i, "scale": scale,
+                                "loss": float(loss),
+                                "det_success": suc, "det_collision": col,
+                                "saturation": sat, "bad_grads": int(bad),
+                                "wall_s": time.time() - t0})
+                if suc > best[0]:
+                    best = (suc, jax.tree_util.tree_map(np.asarray, params))
+                    # persist on every improvement: runs are killed mid-
+                    # flight when they plateau, and an end-of-run-only
+                    # save loses the best params with them
+                    with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
+                        pickle.dump(best[1], f)
+                print(f"[{args.tag}] iter {i} (scale {scale}): "
+                      f"loss={float(loss):.3f} "
+                      f"det_success={suc:.3f} det_collision={col:.3f} "
+                      f"sat={sat:.2f} bad={int(bad)} "
+                      f"({time.time()-t0:.0f}s)", flush=True)
+            i += 1
 
     os.makedirs(OUT, exist_ok=True)
     suc, col = jit_eval(params, jax.random.PRNGKey(1234))
-    final = {"variant": args.tag, "iters": args.iters, "batch": args.batch,
+    final = {"variant": args.tag, "iters": total_iters, "stages": args.stages, "batch": args.batch,
              "horizon": args.horizon, "lr": args.lr, "seed": args.seed,
              "obs_grad": args.obs_grad, "pen_weight": args.pen_weight,
              "act_reg": args.act_reg, "init_params": args.init_params,
