@@ -8,6 +8,7 @@ vmapped on-device env batch, and collection + optimization compile into a
 single XLA program per iteration (Anakin-style) — no process farm, no
 host<->device ping-pong per step.
 """
+from .apg import APG
 from .ppo import PPO
 from .sac import SAC
 from .a2c import A2C
@@ -16,5 +17,5 @@ from .ddpg import DDPG
 from .dqn import DQN
 from .her import HerDDPG, HerSAC, HerTD3
 
-__all__ = ["PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
+__all__ = ["APG", "PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
            "HerSAC", "HerTD3", "HerDDPG"]

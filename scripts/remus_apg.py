@@ -173,6 +173,11 @@ def main():
                     "side goals need a detour AROUND the ring, which "
                     "this term actively penalizes — lower it once the "
                     "policy approaches reliably")
+    ap.add_argument("--stage-target", default="both",
+                    choices=("both", "ring"),
+                    help="which capsule radii the homotopy scales: 'ring' "
+                    "keeps the center capsule (and thus the terminal "
+                    "docking geometry) at the true scale in every stage")
     ap.add_argument("--stages", default="",
                     help="geometry homotopy: comma list of scale:iters "
                     "(e.g. '0.4:2500,0.7:2500,1.0:5000').  Each stage "
@@ -370,12 +375,14 @@ def main():
     for scale, stage_iters in stages:
         if scale != 1.0:
             import dataclasses as _dc
+            center_scale = 1.0 if args.stage_target == "ring" else scale
             cfg_t = _dc.replace(core.config, ring_radius_scale=scale,
-                                center_radius_scale=scale)
+                                center_radius_scale=center_scale)
             core_t = make_env(ENV_ID, config=cfg_t)
         else:
+            center_scale = 1.0
             core_t = core
-        geo_r = (1.0 * scale + 1.0) - 0.1  # just inside the scaled shell
+        geo_r = (1.0 * center_scale + 1.0) - 0.1  # inside the scaled shell
         train_step = make_train_step(core_t, geo_r)
         print(f"[{args.tag}] === stage scale={scale} iters={stage_iters} "
               f"geo_r={geo_r:.2f} ===", flush=True)
