@@ -188,6 +188,10 @@ def main():
                     "no replay to poison, so the moving MDP is safe — "
                     "this is a continuation method, not a curriculum "
                     "ladder.  Empty = single stage at 1.0 x --iters.")
+    ap.add_argument("--rnn", type=int, default=0,
+                    help="GRU hidden size (0 = stateless MLP policy); the "
+                    "env is partially observed (no absolute position, "
+                    "forward-cone radar) and memory resolves it")
     ap.add_argument("--tag", default="apg",
                     help="output filename stem under logs/remus_crack/")
     args = ap.parse_args()
@@ -206,28 +210,60 @@ def main():
 
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
-    params = mlp_init(k_init, (36, 256, 256, 3))
+    if args.rnn:
+        # GRU policy: the env is PARTIALLY OBSERVED (no absolute position
+        # in the obs; the radar is a forward cone), so a memoryless policy
+        # cannot represent "which side of the capsule am I on" — memory
+        # integrates radar sightings into an implicit pose belief.
+        H = args.rnn
+        ks = jax.random.split(k_init, 6)
+        s_in = jnp.sqrt(1.0 / (36 + H))
+        params = {
+            "wzr": jax.random.normal(ks[0], (36 + H, 2 * H)) * s_in,
+            "bzr": jnp.zeros(2 * H),
+            "wn": jax.random.normal(ks[1], (36 + H, H)) * s_in,
+            "bn": jnp.zeros(H),
+            "head": [(jax.random.normal(ks[2], (H + 36, 128))
+                      * jnp.sqrt(2.0 / (H + 36)), jnp.zeros(128)),
+                     (jax.random.normal(ks[3], (128, 3)) * 0.01,
+                      jnp.zeros(3))],
+        }
+        h0 = jnp.zeros((H,))
+    else:
+        params = mlp_init(k_init, (36, 256, 256, 3))
+        h0 = jnp.zeros((0,))
     if args.init_params:
         with open(args.init_params, "rb") as f:
             params = jax.tree_util.tree_map(
                 jnp.asarray, pickle.load(f))
 
-    def policy_pre(params, obs):
+    def policy_step(params, h, obs):
+        """(pre, h') — recurrent when --rnn, stateless otherwise."""
         if args.obs_grad == "none":
             obs = jax.lax.stop_gradient(obs)
         elif args.obs_grad == "head":
             obs = obs.at[16:].set(jax.lax.stop_gradient(obs[16:]))
-        return mlp_apply(params, obs)
+        if not args.rnn:
+            return mlp_apply(params, obs), h
+        xh = jnp.concatenate([obs, h])
+        zr = jax.nn.sigmoid(xh @ params["wzr"] + params["bzr"])
+        z, r = zr[: args.rnn], zr[args.rnn:]
+        n = jnp.tanh(jnp.concatenate([obs, r * h]) @ params["wn"]
+                     + params["bn"])
+        h = (1.0 - z) * h + z * n
+        return mlp_apply(params["head"],
+                         jnp.concatenate([h, obs])), h
 
-    def policy(params, obs):
-        raw = jnp.tanh(policy_pre(params, obs))
-        return low + (raw + 1.0) * 0.5 * (high - low)
+    def policy(params, obs, h):
+        pre, h = policy_step(params, h, obs)
+        raw = jnp.tanh(pre)
+        return low + (raw + 1.0) * 0.5 * (high - low), h
 
     def make_rollout(core_t, geo_r):
         def rollout(params, state0, obs0):
             def body(carry, _):
-                state, obs = carry
-                pre = policy_pre(params, obs)
+                state, obs, h = carry
+                pre, h = policy_step(params, h, obs)
                 raw = jnp.tanh(pre)
                 a = low + (raw + 1.0) * 0.5 * (high - low)
                 state, res = core_t.step(state, a)
@@ -236,10 +272,10 @@ def main():
                                         radius=geo_r,
                                         chirality=args.chirality)
                       if args.geodesic else res.info.delta_d)
-                return (state, res.obs), (dd, sdf0, sdfr,
-                                          jnp.mean(pre ** 2))
+                return (state, res.obs, h), (dd, sdf0, sdfr,
+                                             jnp.mean(pre ** 2))
             _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
-                body, (state0, obs0), None, length=args.horizon)
+                body, (state0, obs0, h0), None, length=args.horizon)
             return d, sdf0, sdfr, pre2
         return rollout
 
@@ -335,18 +371,20 @@ def main():
             keys, jnp.zeros((n_episodes,), jnp.int32))
         step_env = jax.vmap(core.step)
 
+        hs = jnp.zeros((n_episodes,) + h0.shape)
+
         def body(carry, _):
-            states, obs, alive, goal, col = carry
-            a = jax.vmap(lambda o: policy(params, o))(obs)
+            states, obs, hs, alive, goal, col = carry
+            a, hs = jax.vmap(lambda o, h: policy(params, o, h))(obs, hs)
             states, res = step_env(states, a)
             goal = goal | (res.info.goal_reached & alive)
             col = col | (res.info.collision & alive)
             alive = alive & ~res.done
-            return (states, res.obs, alive, goal, col), None
+            return (states, res.obs, hs, alive, goal, col), None
 
-        init = (states, obs, jnp.ones((n_episodes,), bool),
+        init = (states, obs, hs, jnp.ones((n_episodes,), bool),
                 jnp.zeros((n_episodes,), bool), jnp.zeros((n_episodes,), bool))
-        (_, _, _, goal, col), _ = jax.lax.scan(
+        (_, _, _, _, goal, col), _ = jax.lax.scan(
             body, init, None, length=core.config.max_timesteps + 1)
         return jnp.mean(goal), jnp.mean(col)
 
@@ -357,14 +395,16 @@ def main():
         keys = jax.random.split(key, 32)
         states, obs = jax.vmap(core.reset)(
             keys, jnp.zeros((32,), jnp.int32))
+        hs = jnp.zeros((32,) + h0.shape)
 
         def body(carry, _):
-            st, ob = carry
-            pre = jax.vmap(lambda o: policy_pre(params, o))(ob)
+            st, ob, hs = carry
+            pre, hs = jax.vmap(
+                lambda o, h: policy_step(params, h, o))(ob, hs)
             a = low + (jnp.tanh(pre) + 1.0) * 0.5 * (high - low)
             st, res = jax.vmap(core.step)(st, a)
-            return (st, res.obs), jnp.mean(jnp.abs(pre) > 3.0)
-        _, sat = jax.lax.scan(body, (states, obs), None, length=100)
+            return (st, res.obs, hs), jnp.mean(jnp.abs(pre) > 3.0)
+        _, sat = jax.lax.scan(body, (states, obs, hs), None, length=100)
         return jnp.mean(sat)
 
     os.makedirs(OUT, exist_ok=True)
