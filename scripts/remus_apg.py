@@ -188,6 +188,12 @@ def main():
                     "no replay to poison, so the moving MDP is safe — "
                     "this is a continuation method, not a curriculum "
                     "ladder.  Empty = single stage at 1.0 x --iters.")
+    ap.add_argument("--d-floor", type=float, default=0.0,
+                    help="floor the distance cost at this value: success "
+                    "only needs d < 0.5, and the goal sits ON the "
+                    "collision shell, so rewarding d below ~0.3 drives "
+                    "knife-edge shell-hugging docks (measured: +/-0.08 "
+                    "eval noise on adjacent evals of the same policy)")
     ap.add_argument("--rnn", type=int, default=0,
                     help="GRU hidden size (0 = stateless MLP policy); the "
                     "env is partially observed (no absolute position, "
@@ -272,6 +278,7 @@ def main():
                                         radius=geo_r,
                                         chirality=args.chirality)
                       if args.geodesic else res.info.delta_d)
+                dd = jnp.maximum(dd, args.d_floor)
                 return (state, res.obs, h), (dd, sdf0, sdfr,
                                              jnp.mean(pre ** 2))
             _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
