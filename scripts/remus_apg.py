@@ -152,6 +152,13 @@ def main():
                     help="capsule penetration penalty weight; 0 = pure "
                     "approach (phase A), >0 for the collision fine-tune "
                     "(phase B, warm-started via --init-params)")
+    ap.add_argument("--pen-ring", type=float, default=None,
+                    help="separate weight for the RING shells (default: "
+                    "--pen-weight).  Ring hits are ~60%% of remaining "
+                    "collisions at median 6 m from goal (mid-flight "
+                    "avoidance, remus_eval --diag), while the center "
+                    "weight cannot be raised without suppressing docks "
+                    "on the on-shell goal — decouple them.")
     ap.add_argument("--act-reg", type=float, default=1e-3,
                     help="L2 penalty on the pre-tanh head output: without "
                     "it the head drifts to |pre|~13 (100%% saturated, "
@@ -302,8 +309,10 @@ def main():
         # (measured: apgE collapsed 0.41 -> 0.17).  The cummin gradient
         # instead pushes only the single closest-approach step off the
         # shell.  Center scale 5 cm (zero margin), ring 15 cm.
+            ring_w = (args.pen_ring if args.pen_ring is not None
+                      else args.pen_weight) / max(args.pen_weight, 1e-8)
             dead = (jax.nn.sigmoid(-jax.lax.cummin(sdf0) / 0.05)
-                    + jax.nn.sigmoid(-jax.lax.cummin(sdfr) / 0.15))
+                    + ring_w * jax.nn.sigmoid(-jax.lax.cummin(sdfr) / 0.15))
             # one-step LAG: goal_reached and collision latch on the SAME
             # env step (core.py conditions[0]/[4] are independent), so a
             # ballistic radial dock that pierces the shell on the step it
