@@ -67,20 +67,42 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
     Failure telemetry on the apgF policy: far-side goals succeed 0.205
     vs near-side 0.605, and 90/97 fatal center-shell collisions are
     far-side — the Euclidean delta_d gradient pulls straight THROUGH
-    the capsule.  The geodesic's gradient pulls around it.  radius is
-    set slightly under the true 2.0 m shell so the on-shell goal stays
-    strictly outside the circle (the survival term owns the last 10 cm).
-    Smoothly equals the straight-line distance whenever the segment
-    clears the circle.
+    the capsule.  The geodesic's gradient pulls around it.  Smoothly
+    equals the straight-line distance whenever the segment clears the
+    circle.
+
+    radius: guidance-circle radius.  1.9 (just under the 2.0 m shell)
+    hugs the shell, but the measured full-rudder turn radius is
+    2.7-2.9 m (scripts probe, all rpm) — an r~2 circle is dynamically
+    UNTRACKABLE and the policy oscillates between shell cuts and ring-
+    band swings (remus_eval --diag: ring 2/3 / center 1/3 of deaths).
+    radius ~3 sits in the trackable middle of the (2, 4) corridor
+    between the center shell and the ring shells.  When radius exceeds
+    the goal's 2.0 m ring (on-shell goal), the wrap targets a GATE
+    point above the goal on the guidance circle and the final radial
+    dive is added as a constant leg — without the gate, a policy ON
+    the circle over the goal would read distance 0 and never dock.
     """
-    p, g = position[:2], goal[:2]
+    p, g_true = position[:2], goal[:2]
+    g_norm = jnp.linalg.norm(g_true)
+    dive = jnp.maximum(radius + 0.05 - g_norm, 0.0)
+    # wrap target: the goal itself when it lies outside the guidance
+    # circle (radius <= 2.0), else the GATE point above it on the circle
+    g = jnp.where(dive > 0.0, g_true / jnp.maximum(g_norm, 1e-6)
+                  * (radius + 0.05), g_true)
     dz = position[2] - goal[2]
     np_, ng = jnp.linalg.norm(p), jnp.linalg.norm(g)
-    straight = jnp.linalg.norm(p - g)
-    # distance from the circle center (origin) to the segment p-g
-    t = jnp.clip(jnp.dot(-p, g - p) / (straight ** 2 + 1e-12), 0.0, 1.0)
-    seg_d = jnp.linalg.norm(p + t * (g - p))
-    blocked = seg_d < radius
+    straight = jnp.linalg.norm(p - g_true)
+    # blocked test against the SHELL (1.9, just under the true 2.0 m
+    # collision circle), NOT the guidance radius: a straight segment
+    # crossing open water between shell and guidance circle needs no
+    # detour, and the endpoint (on-shell goal) sits inside a wide
+    # guidance circle which would otherwise mark every instance blocked
+    shell_r = jnp.minimum(radius, 1.9)
+    t = jnp.clip(jnp.dot(-p, g_true - p) / (straight ** 2 + 1e-12),
+                 0.0, 1.0)
+    seg_d = jnp.linalg.norm(p + t * (g_true - p))
+    blocked = seg_d < shell_r
     safe_np = jnp.maximum(np_, radius + 1e-4)
     safe_ng = jnp.maximum(ng, radius + 1e-4)
     lp = jnp.sqrt(jnp.maximum(safe_np ** 2 - radius ** 2, 1e-8))
@@ -111,8 +133,9 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
         if chirality == "cw":
             sweep = 2 * jnp.pi - sweep
     wrap = sweep - tan_p - tan_g
-    geo_xy = jnp.where(blocked, lp + lg + radius * jnp.maximum(wrap, 0.0),
-                       jnp.linalg.norm(p - g))
+    geo_xy = jnp.where(blocked,
+                       lp + lg + radius * jnp.maximum(wrap, 0.0) + dive,
+                       straight)
     return jnp.sqrt(geo_xy ** 2 + dz ** 2)
 
 
@@ -166,6 +189,14 @@ def main():
                     "(measured, apg run 1)")
     ap.add_argument("--init-params", default=None,
                     help="warm-start policy pkl (phase B)")
+    ap.add_argument("--geo-radius", type=float, default=None,
+                    help="guidance-circle radius override (default: 0.1 "
+                    "under the scaled shell).  Measured full-rudder turn "
+                    "radius is 2.7-2.9 m at every rpm, so the default "
+                    "shell-hugging r~1.9 circle is untrackable — ~3.0 "
+                    "sits mid-corridor between the center shell (2) and "
+                    "the ring shells (4) and engages the gate leg in "
+                    "geodesic_distance")
     ap.add_argument("--geodesic", action="store_true",
                     help="guide the cost with the geodesic distance "
                     "around the center shell instead of Euclidean "
@@ -438,7 +469,8 @@ def main():
         else:
             center_scale = 1.0
             core_t = core
-        geo_r = (1.0 * center_scale + 1.0) - 0.1  # inside the scaled shell
+        geo_r = (args.geo_radius if args.geo_radius is not None
+                 else (1.0 * center_scale + 1.0) - 0.1)
         train_step = make_train_step(core_t, geo_r)
         print(f"[{args.tag}] === stage scale={scale} iters={stage_iters} "
               f"geo_r={geo_r:.2f} ===", flush=True)
