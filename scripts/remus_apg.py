@@ -102,7 +102,6 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
     t = jnp.clip(jnp.dot(-p, g_true - p) / (straight ** 2 + 1e-12),
                  0.0, 1.0)
     seg_d = jnp.linalg.norm(p + t * (g_true - p))
-    blocked = seg_d < shell_r
     safe_np = jnp.maximum(np_, radius + 1e-4)
     safe_ng = jnp.maximum(ng, radius + 1e-4)
     lp = jnp.sqrt(jnp.maximum(safe_np ** 2 - radius ** 2, 1e-8))
@@ -133,9 +132,16 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
         if chirality == "cw":
             sweep = 2 * jnp.pi - sweep
     wrap = sweep - tan_p - tan_g
-    geo_xy = jnp.where(blocked,
-                       lp + lg + radius * jnp.maximum(wrap, 0.0) + dive,
-                       straight)
+    wrapped = lp + lg + radius * jnp.maximum(wrap, 0.0) + dive
+    # with a guidance radius above the shell the two branches no longer
+    # meet at the blocked boundary (the wrap detours around r=3 while the
+    # straight segment only grazes r=1.9) — blend smoothly, with the band
+    # centered 0.3 INSIDE the shell: the on-shell goal makes every
+    # terminal approach segment sit at seg_d = 2.0, which must stay
+    # firmly on the straight branch (w(2.0) ~ 0.02) or the wrap cost
+    # distorts final-approach gradients
+    w = jax.nn.sigmoid((shell_r - 0.3 - seg_d) / 0.1)
+    geo_xy = w * wrapped + (1.0 - w) * straight
     return jnp.sqrt(geo_xy ** 2 + dz ** 2)
 
 
