@@ -238,6 +238,13 @@ def main():
                     "collision shell, so rewarding d below ~0.3 drives "
                     "knife-edge shell-hugging docks (measured: +/-0.08 "
                     "eval noise on adjacent evals of the same policy)")
+    ap.add_argument("--far-weight", type=float, default=1.0,
+                    help="gradient weight multiplier for FAR-SIDE "
+                    "instances (goal azimuth > 90 deg from the spawn "
+                    "azimuth).  The failure split is persistently "
+                    "lopsided (remus_eval --diag: far 0.31 vs near 0.62 "
+                    "on apgO) while far/near are drawn ~50/50 — "
+                    "oversample the hard half in the batch gradient.")
     ap.add_argument("--rnn", type=int, default=0,
                     help="GRU hidden size (0 = stateless MLP policy); the "
                     "env is partially observed (no absolute position, "
@@ -401,9 +408,14 @@ def main():
                     lambda x: jnp.all(jnp.isfinite(x),
                                       axis=tuple(range(1, x.ndim))), grads))
             ok = jnp.isfinite(losses) & leaf_ok
-            n = jnp.maximum(jnp.sum(ok), 1)
-            scale = jnp.where(ok, jnp.minimum(1.0, 10.0 / (gnorm + 1e-8)),
-                              0.0) / n
+            # far-side oversampling: weight each instance's (clipped)
+            # gradient by w_i and normalize by the surviving weight mass
+            far = jnp.sum(states0.goal[:, :2] * states0.vehicle[:, :2],
+                          axis=-1) < 0.0
+            w_i = jnp.where(far, args.far_weight, 1.0)
+            n = jnp.maximum(jnp.sum(jnp.where(ok, w_i, 0.0)), 1e-6)
+            scale = jnp.where(ok, w_i * jnp.minimum(
+                1.0, 10.0 / (gnorm + 1e-8)), 0.0) / n
             # sanitize BEFORE the contraction: masked rows have scale 0
             # but inf/NaN leaves, and 0 * inf = NaN would poison the
             # averaged grad
