@@ -101,7 +101,10 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
     shell_r = jnp.minimum(radius, 1.9)
     t = jnp.clip(jnp.dot(-p, g_true - p) / (straight ** 2 + 1e-12),
                  0.0, 1.0)
-    seg_d = jnp.linalg.norm(p + t * (g_true - p))
+    # safe norm: colinear p,g put the closest point exactly at the
+    # origin (seg_d = 0), where norm's gradient is NaN — and seg_d now
+    # feeds the differentiable sigmoid blend below, not just a boolean
+    seg_d = jnp.sqrt(jnp.sum((p + t * (g_true - p)) ** 2) + 1e-12)
     safe_np = jnp.maximum(np_, radius + 1e-4)
     safe_ng = jnp.maximum(ng, radius + 1e-4)
     lp = jnp.sqrt(jnp.maximum(safe_np ** 2 - radius ** 2, 1e-8))
@@ -142,7 +145,46 @@ def geodesic_distance(position, goal, radius=1.9, chirality="none"):
     # distorts final-approach gradients
     w = jax.nn.sigmoid((shell_r - 0.3 - seg_d) / 0.1)
     geo_xy = w * wrapped + (1.0 - w) * straight
-    return jnp.sqrt(geo_xy ** 2 + dz ** 2)
+    return jnp.sqrt(geo_xy ** 2 + dz ** 2), geo_xy
+
+
+def gap_via_distance(position, goal, ring_az, radius=1.9,
+                     chirality="none"):
+    """Guided distance that routes RING ENTRY through a gap.
+
+    Failure telemetry (apgO, remus_eval/probe): 56% of far-side
+    collisions die ON the ring band (r 6.6-7.9) at median step 87,
+    126-164 deg away from the goal — i.e. at ENTRY on the spawn side,
+    never reaching the detour.  The center-capsule geodesic is blind to
+    the ring: its tangent direction at spawn drags the path obliquely
+    across the ring band.  Here, while the vehicle is OUTSIDE the ring
+    circle (r=6), the cost routes through the best of the 4 gap
+    midpoints (softmin; smooth in both position and ring phase), then
+    blends into the plain center geodesic once inside.  Training-only
+    privilege: the ring phase comes from the env state (the policy
+    still only sees the radar).
+    """
+    p3 = position
+    p, g = position[:2], goal[:2]
+    rho = jnp.linalg.norm(p)
+    d_in, _ = geodesic_distance(p3, goal, radius=radius,
+                                chirality=chirality)
+    # 4 gap midpoints on the ring circle
+    gap_az = ring_az + jnp.pi / 4.0 + (jnp.pi / 2.0) * jnp.arange(4.0)
+    vias = 6.0 * jnp.stack([jnp.cos(gap_az), jnp.sin(gap_az)], axis=-1)
+    leg1 = jnp.linalg.norm(p[None, :] - vias, axis=-1)
+    _, leg2 = jax.vmap(
+        lambda v: geodesic_distance(
+            jnp.concatenate([v, goal[2:]]), goal, radius=radius,
+            chirality=chirality))(vias)
+    planar = leg1 + leg2
+    tau = 0.5
+    d_gap_xy = -tau * jax.nn.logsumexp(-planar / tau)
+    dz = position[2] - goal[2]
+    d_gap = jnp.sqrt(d_gap_xy ** 2 + dz ** 2)
+    # outside the ring circle -> gap routing; inside -> center geodesic
+    w_out = jax.nn.sigmoid((rho - 5.0) / 0.5)
+    return w_out * d_gap + (1.0 - w_out) * d_in
 
 
 def mlp_init(key, sizes):
@@ -207,6 +249,12 @@ def main():
                     help="guide the cost with the geodesic distance "
                     "around the center shell instead of Euclidean "
                     "delta_d (see geodesic_distance docstring)")
+    ap.add_argument("--gap-via", action="store_true",
+                    help="route ring ENTRY through the best of the 4 "
+                    "ring-gap midpoints before blending into the center "
+                    "geodesic (see gap_via_distance: 56%% of far-side "
+                    "deaths are ring hits at entry, which the center "
+                    "geodesic is blind to)")
     ap.add_argument("--chirality", default="none",
                     choices=("none", "ccw", "cw"),
                     help="force the geodesic detour direction (see "
@@ -325,10 +373,18 @@ def main():
                 a = low + (raw + 1.0) * 0.5 * (high - low)
                 state, res = core_t.step(state, a)
                 sdf0, sdfr = capsule_sdf(state, res.info.position)
-                dd = (geodesic_distance(res.info.position, state.goal,
-                                        radius=geo_r,
-                                        chirality=args.chirality)
-                      if args.geodesic else res.info.delta_d)
+                if args.gap_via:
+                    ring_az = jnp.arctan2(state.cap_a[1, 1],
+                                          state.cap_a[1, 0])
+                    dd = gap_via_distance(res.info.position, state.goal,
+                                          ring_az, radius=geo_r,
+                                          chirality=args.chirality)
+                elif args.geodesic:
+                    dd, _ = geodesic_distance(res.info.position,
+                                              state.goal, radius=geo_r,
+                                              chirality=args.chirality)
+                else:
+                    dd = res.info.delta_d
                 dd = jnp.maximum(dd, args.d_floor)
                 return (state, res.obs, h), (dd, sdf0, sdfr,
                                              jnp.mean(pre ** 2))
