@@ -286,6 +286,17 @@ def main():
                     "collision shell, so rewarding d below ~0.3 drives "
                     "knife-edge shell-hugging docks (measured: +/-0.08 "
                     "eval noise on adjacent evals of the same policy)")
+    ap.add_argument("--ring-clear", type=float, default=0.0,
+                    help="weight of a per-step RING clearance hinge "
+                    "mean(softplus(margin - sdf_ring)): the survival "
+                    "term's cummin only pushes on the single closest-"
+                    "approach step, but entry deaths are grazing "
+                    "incidents along the whole ring passage (56%% of "
+                    "far-side deaths, r 6.6-7.9).  Ring-only: a hinge "
+                    "on the center shell would fight on-shell docking.")
+    ap.add_argument("--ring-margin", type=float, default=0.5,
+                    help="clearance margin (m beyond the +1.0 safety "
+                    "shell) where the --ring-clear hinge engages")
     ap.add_argument("--far-weight", type=float, default=1.0,
                     help="gradient weight multiplier for FAR-SIDE "
                     "instances (goal azimuth > 90 deg from the spawn "
@@ -422,7 +433,12 @@ def main():
             cost = d + args.pen_weight * dead
             tau = 0.3
             soft_min = -tau * jax.nn.logsumexp(-cost / tau)
+            # per-step ring clearance hinge (see --ring-clear help);
+            # 0.2 softness ~ the shell-graze length scale
+            ring_hinge = jnp.mean(
+                0.2 * jax.nn.softplus((args.ring_margin - sdfr) / 0.2))
             return (soft_min + args.mean_d * jnp.mean(d)
+                    + args.ring_clear * ring_hinge
                     + args.act_reg * jnp.mean(pre2))
         return instance_loss
 
