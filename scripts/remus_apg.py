@@ -309,6 +309,12 @@ def main():
                     "lopsided (remus_eval --diag: far 0.31 vs near 0.62 "
                     "on apgO) while far/near are drawn ~50/50 — "
                     "oversample the hard half in the batch gradient.")
+    ap.add_argument("--act-noise", type=float, default=0.0,
+                    help="training-only Gaussian noise std on the pre-"
+                    "tanh action (eval stays deterministic).  Randomized "
+                    "smoothing: adjacent evals of the same policy swing "
+                    "+/-0.08, i.e. docks sit on knife-edge margins; "
+                    "training under actuation noise forces margin.")
     ap.add_argument("--rnn", type=int, default=0,
                     help="GRU hidden size (0 = stateless MLP policy); the "
                     "env is partially observed (no absolute position, "
@@ -381,10 +387,13 @@ def main():
         return low + (raw + 1.0) * 0.5 * (high - low), h
 
     def make_rollout(core_t, geo_r):
-        def rollout(params, state0, obs0):
-            def body(carry, _):
+        def rollout(params, state0, obs0, key):
+            def body(carry, k):
                 state, obs, h = carry
                 pre, h = policy_step(params, h, obs)
+                if args.act_noise > 0.0:
+                    pre = pre + args.act_noise * jax.random.normal(
+                        k, pre.shape)
                 raw = jnp.tanh(pre)
                 a = low + (raw + 1.0) * 0.5 * (high - low)
                 state, res = core_t.step(state, a)
@@ -405,15 +414,16 @@ def main():
                 return (state, res.obs, h), (dd, sdf0, sdfr,
                                              jnp.mean(pre ** 2))
             _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
-                body, (state0, obs0, h0), None, length=args.horizon)
+                body, (state0, obs0, h0),
+                jax.random.split(key, args.horizon))
             return d, sdf0, sdfr, pre2
         return rollout
 
     def make_instance_loss(core_t, geo_r):
         rollout = make_rollout(core_t, geo_r)
 
-        def instance_loss(params, state0, obs0):
-            d, sdf0, sdfr, pre2 = rollout(params, state0, obs0)
+        def instance_loss(params, state0, obs0, key):
+            d, sdf0, sdfr, pre2 = rollout(params, state0, obs0, key)
         # Smooth first-passage objective with episode semantics: eval
         # TERMINATES on collision, so a rollout that grazes a shell and
         # then "docks" must earn nothing.  Kill probability comes from
@@ -461,9 +471,10 @@ def main():
 
         @jax.jit
         def train_step(params, opt_state, key):
-            keys = jax.random.split(key, args.batch)
+            keys = jax.random.split(key, 2 * args.batch)
+            k_noise = keys[args.batch:]
             states0, obs0 = jax.vmap(core_t.reset)(
-                keys, jnp.zeros((args.batch,), jnp.int32))
+                keys[:args.batch], jnp.zeros((args.batch,), jnp.int32))
             # PER-INSTANCE grads, not grad-of-mean: with batch=128 x
             # 300-step BPTT, >=1 instance per iteration hits a gradient-
             # singular geometry event (inf grad with a FINITE loss), which
@@ -473,8 +484,8 @@ def main():
             # for 9.5k iters).  Mask bad instances and robust-clip each
             # survivor before averaging.
             losses, grads = jax.vmap(
-                lambda s0, o0: jax.value_and_grad(instance_loss)(
-                    params, s0, o0))(states0, obs0)
+                lambda s0, o0, kn: jax.value_and_grad(instance_loss)(
+                    params, s0, o0, kn))(states0, obs0, k_noise)
             gnorm = jnp.sqrt(jax.tree_util.tree_reduce(
                 jnp.add, jax.tree_util.tree_map(
                     lambda x: jnp.sum(
