@@ -621,6 +621,12 @@ def main():
         jax.tree_util.tree_map(np.asarray, params)
     with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
         pickle.dump(save, f)
+    # end-of-run params, regardless of eval: phase-A (pen_weight=0) runs
+    # optimize APPROACH, whose det_success tracker is near-zero noise —
+    # best-by-success selection there picks an arbitrary early iterate,
+    # while phase B wants the final converged approach law as warm start
+    with open(f"{OUT}/{args.tag}_final.pkl", "wb") as f:
+        pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
     print(f"[{args.tag}] FINAL success={float(suc):.3f} "
           f"collision={float(col):.3f} "
           f"best={best[0]:.3f} ({time.time()-t0:.0f}s)", flush=True)
