@@ -599,6 +599,13 @@ def main():
                     # save loses the best params with them
                     with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
                         pickle.dump(best[1], f)
+                # keep the latest iterate on disk too: killed phase-A
+                # (approach) runs have a near-zero success tracker, so
+                # _policy.pkl is an arbitrary early iterate — _final.pkl
+                # is the warm start phase B actually wants
+                with open(f"{OUT}/{args.tag}_final.pkl", "wb") as f:
+                    pickle.dump(
+                        jax.tree_util.tree_map(np.asarray, params), f)
                 print(f"[{args.tag}] iter {i} (scale {scale}): "
                       f"loss={float(loss):.3f} "
                       f"det_success={suc:.3f} det_collision={col:.3f} "
@@ -617,8 +624,8 @@ def main():
              "wall_s": time.time() - t0}
     with open(f"{OUT}/{args.tag}.json", "w") as f:
         json.dump(final, f, indent=1)
-    save = best[1] if best[0] > float(suc) else \
-        jax.tree_util.tree_map(np.asarray, params)
+    final_np = jax.tree_util.tree_map(np.asarray, params)
+    save = best[1] if best[0] > float(suc) else final_np
     with open(f"{OUT}/{args.tag}_policy.pkl", "wb") as f:
         pickle.dump(save, f)
     # end-of-run params, regardless of eval: phase-A (pen_weight=0) runs
@@ -626,7 +633,7 @@ def main():
     # best-by-success selection there picks an arbitrary early iterate,
     # while phase B wants the final converged approach law as warm start
     with open(f"{OUT}/{args.tag}_final.pkl", "wb") as f:
-        pickle.dump(jax.tree_util.tree_map(np.asarray, params), f)
+        pickle.dump(final_np, f)
     print(f"[{args.tag}] FINAL success={float(suc):.3f} "
           f"collision={float(col):.3f} "
           f"best={best[0]:.3f} ({time.time()-t0:.0f}s)", flush=True)

@@ -89,10 +89,11 @@ def test_spawn_worker_failure_is_reported():
 def test_weak_scaling_efficiency_two_devices():
     """BASELINE target: >=0.8 weak-scaling efficiency.  Measured on the
     virtual rig at N=2 — the only count where the 4-core host still has
-    cores to spare for runtime threads (see SCALING.md); one retry guards
-    scheduler noise.  Skipped when the host is already loaded (the
-    measurement needs idle cores; under concurrent jobs it reports the
-    scheduler, not the framework)."""
+    cores to spare for runtime threads (see SCALING.md).  Gated on the
+    MEDIAN of 3 attempts: best-of-N on a noisy timing measure lets a
+    marginally-regressed system pass on its luckiest run.  Skipped when
+    the host is already loaded (the measurement needs idle cores; under
+    concurrent jobs it reports the scheduler, not the framework)."""
     import os
     import types
 
@@ -109,6 +110,6 @@ def test_weak_scaling_efficiency_two_devices():
         r1 = bs.run_single_process(1, args)
         r2 = bs.run_single_process(2, args)
         effs.append(r2["env_steps_per_s"] / (2 * r1["env_steps_per_s"]))
-        if max(effs) >= 0.8:
-            break
-    assert max(effs) >= 0.8, f"weak-scaling efficiency {effs} all < 0.8"
+    median = sorted(effs)[1]
+    assert median >= 0.8, f"median weak-scaling efficiency {median:.3f} " \
+        f"< 0.8 (attempts: {[round(e, 3) for e in effs]})"
