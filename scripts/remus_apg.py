@@ -284,7 +284,29 @@ def main():
                     "eval is ALWAYS the true scale-1.0 config.  APG has "
                     "no replay to poison, so the moving MDP is safe — "
                     "this is a continuation method, not a curriculum "
-                    "ladder.  Empty = single stage at 1.0 x --iters.")
+                    "ladder.  Empty = single stage at 1.0 x --iters.  "
+                    "Optional 3rd/4th fields scale:iters:smin:smax set a "
+                    "SPAWN WINDOW (env spawn_lerp_min/max) for the stage: "
+                    "the spawn sweeps from near-goal out to the true "
+                    "[-8,0,0] — the anneal that took HerSAC to its 0.50 "
+                    "best (remus_crack.py her_window), here composed with "
+                    "the GRU + gap-via gradient path.  Default 1:1 = "
+                    "reference spawn.")
+    ap.add_argument("--spawn-clearance", type=float, default=0.0,
+                    help="extra shell clearance (m) for lerped spawns in "
+                    "window stages: near-goal rest spawns drift into the "
+                    "shell on the 1 s actuator lag under the 0.5-1 m/s "
+                    "grid current (a collision floor no objective can "
+                    "remove; measured in remus_crack her_window post-"
+                    "mortem)")
+    ap.add_argument("--spawn-speed", type=float, default=0.0,
+                    help="initial surge speed (m/s, prop pre-spun) in "
+                    "window stages: docking-from-rest next to the shell "
+                    "is a different maneuver from the true task's arrive-"
+                    "at-speed approach")
+    ap.add_argument("--spawn-aim", action="store_true",
+                    help="aim the spawn attitude at the goal in window "
+                    "stages")
     ap.add_argument("--d-floor", type=float, default=0.0,
                     help="floor the distance cost at this value: success "
                     "only needs d < 0.5, and the goal sits ON the "
@@ -324,11 +346,15 @@ def main():
     args = ap.parse_args()
 
     if args.stages:
-        stages = [(float(s.split(":")[0]), int(s.split(":")[1]))
-                  for s in args.stages.split(",")]
+        stages = []
+        for s in args.stages.split(","):
+            p = s.split(":")
+            stages.append((float(p[0]), int(p[1]),
+                           float(p[2]) if len(p) > 2 else 1.0,
+                           float(p[3]) if len(p) > 3 else 1.0))
     else:
-        stages = [(1.0, args.iters)]
-    total_iters = sum(n for _, n in stages)
+        stages = [(1.0, args.iters, 1.0, 1.0)]
+    total_iters = sum(s[1] for s in stages)
 
     core = make_env(ENV_ID)
     tol = float(core.config.dist_goal_reached_tol)
@@ -565,12 +591,18 @@ def main():
     history = []
     best = (-1.0, None)
     i = 0
-    for scale, stage_iters in stages:
-        if scale != 1.0:
+    for scale, stage_iters, smin, smax in stages:
+        window = smin != 1.0 or smax != 1.0
+        if scale != 1.0 or window:
             import dataclasses as _dc
             center_scale = 1.0 if args.stage_target == "ring" else scale
-            cfg_t = _dc.replace(core.config, ring_radius_scale=scale,
-                                center_radius_scale=center_scale)
+            cfg_t = _dc.replace(
+                core.config, ring_radius_scale=scale,
+                center_radius_scale=center_scale,
+                spawn_lerp_min=smin, spawn_lerp_max=smax,
+                spawn_clearance=args.spawn_clearance if window else 0.0,
+                spawn_speed=args.spawn_speed if window else 0.0,
+                spawn_aim=args.spawn_aim and window)
             core_t = make_env(ENV_ID, config=cfg_t)
         else:
             center_scale = 1.0
@@ -579,7 +611,7 @@ def main():
                  else (1.0 * center_scale + 1.0) - 0.1)
         train_step = make_train_step(core_t, geo_r)
         print(f"[{args.tag}] === stage scale={scale} iters={stage_iters} "
-              f"geo_r={geo_r:.2f} ===", flush=True)
+              f"window=[{smin},{smax}] geo_r={geo_r:.2f} ===", flush=True)
         for _ in range(stage_iters):
             key, k = jax.random.split(key)
             params, opt_state, loss, bad = train_step(params, opt_state, k)
@@ -588,6 +620,7 @@ def main():
                 sat = float(head_saturation(params, jax.random.PRNGKey(3)))
                 suc, col = float(suc), float(col)
                 history.append({"iter": i, "scale": scale,
+                                "window": [smin, smax],
                                 "loss": float(loss),
                                 "det_success": suc, "det_collision": col,
                                 "saturation": sat, "bad_grads": int(bad),
@@ -615,10 +648,9 @@ def main():
 
     os.makedirs(OUT, exist_ok=True)
     suc, col = jit_eval(params, jax.random.PRNGKey(1234))
-    final = {"variant": args.tag, "iters": total_iters, "stages": args.stages, "batch": args.batch,
-             "horizon": args.horizon, "lr": args.lr, "seed": args.seed,
-             "obs_grad": args.obs_grad, "pen_weight": args.pen_weight,
-             "act_reg": args.act_reg, "init_params": args.init_params,
+    final = {"variant": args.tag, "iters": total_iters,
+             **vars(args),  # the FULL knob set: A2/B2/C2 post-mortems
+             # could not reconstruct which guidance/penalty flags ran
              "final_success": float(suc), "final_collision": float(col),
              "best_success": best[0], "history": history,
              "wall_s": time.time() - t0}
