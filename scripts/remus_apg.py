@@ -324,6 +324,24 @@ def main():
     ap.add_argument("--ring-margin", type=float, default=0.5,
                     help="clearance margin (m beyond the +1.0 safety "
                     "shell) where the --ring-clear hinge engages")
+    ap.add_argument("--ring-slow", type=float, default=0.0,
+                    help="weight of a speed-x-proximity penalty "
+                    "mean(sigmoid((margin-sdf_ring)/0.2) * relu(|u| - "
+                    "vcap)): ring deaths are GRAZING incidents during "
+                    "passage (apgC2 diag: 73%% of collisions on the ring "
+                    "at median 6.1 m from goal), and at full cruise the "
+                    "2.7-2.9 m turn radius leaves no correction margin "
+                    "inside the 4.5 m gap corridor — teach the policy to "
+                    "shed speed near ring shells")
+    ap.add_argument("--ring-slow-vcap", type=float, default=1.2,
+                    help="surge speed (m/s) above which --ring-slow "
+                    "penalizes proximity to ring shells")
+    ap.add_argument("--prev-act", action="store_true",
+                    help="append the previous raw action (3 dims, "
+                    "[-1,1]) to the policy input: the REMUS actuator has "
+                    "a 1 s first-order lag (remus100.py:463-476) whose "
+                    "state u_actual is NOT in the obs — the policy "
+                    "cannot otherwise know where its fins actually are")
     ap.add_argument("--far-weight", type=float, default=1.0,
                     help="gradient weight multiplier for FAR-SIDE "
                     "instances (goal azimuth > 90 deg from the spawn "
@@ -361,6 +379,9 @@ def main():
     low = jnp.asarray(core.action_low).at[0:2].set(-0.52)
     high = jnp.asarray(core.action_high).at[0:2].set(0.52)
 
+    n_prev = 3 if args.prev_act else 0
+    D = 36 + n_prev
+
     key = jax.random.PRNGKey(args.seed)
     key, k_init = jax.random.split(key)
     if args.rnn:
@@ -370,57 +391,69 @@ def main():
         # integrates radar sightings into an implicit pose belief.
         H = args.rnn
         ks = jax.random.split(k_init, 6)
-        s_in = jnp.sqrt(1.0 / (36 + H))
+        s_in = jnp.sqrt(1.0 / (D + H))
         params = {
-            "wzr": jax.random.normal(ks[0], (36 + H, 2 * H)) * s_in,
+            "wzr": jax.random.normal(ks[0], (D + H, 2 * H)) * s_in,
             "bzr": jnp.zeros(2 * H),
-            "wn": jax.random.normal(ks[1], (36 + H, H)) * s_in,
+            "wn": jax.random.normal(ks[1], (D + H, H)) * s_in,
             "bn": jnp.zeros(H),
-            "head": [(jax.random.normal(ks[2], (H + 36, 128))
-                      * jnp.sqrt(2.0 / (H + 36)), jnp.zeros(128)),
+            "head": [(jax.random.normal(ks[2], (H + D, 128))
+                      * jnp.sqrt(2.0 / (H + D)), jnp.zeros(128)),
                      (jax.random.normal(ks[3], (128, 3)) * 0.01,
                       jnp.zeros(3))],
         }
-        h0 = jnp.zeros((H,))
+        h0 = jnp.zeros((H + n_prev,))
     else:
-        params = mlp_init(k_init, (36, 256, 256, 3))
-        h0 = jnp.zeros((0,))
+        params = mlp_init(k_init, (D, 256, 256, 3))
+        h0 = jnp.zeros((n_prev,))
     if args.init_params:
         with open(args.init_params, "rb") as f:
             params = jax.tree_util.tree_map(
                 jnp.asarray, pickle.load(f))
 
-    def policy_step(params, h, obs):
-        """(pre, h') — recurrent when --rnn, stateless otherwise."""
+    def policy_step(params, h_ext, obs):
+        """(pre, h_core') — recurrent when --rnn, stateless otherwise.
+        With --prev-act the carry is [h_core, prev_raw]; the CALLER
+        appends the raw action it actually applies (post-noise during
+        training), so the policy sees where its fins were really sent."""
         if args.obs_grad == "none":
             obs = jax.lax.stop_gradient(obs)
         elif args.obs_grad == "head":
             obs = obs.at[16:].set(jax.lax.stop_gradient(obs[16:]))
+        if n_prev:
+            h = h_ext[: h_ext.shape[0] - n_prev]
+            x = jnp.concatenate([obs, h_ext[h_ext.shape[0] - n_prev:]])
+        else:
+            h, x = h_ext, obs
         if not args.rnn:
-            return mlp_apply(params, obs), h
-        xh = jnp.concatenate([obs, h])
+            return mlp_apply(params, x), h
+        xh = jnp.concatenate([x, h])
         zr = jax.nn.sigmoid(xh @ params["wzr"] + params["bzr"])
         z, r = zr[: args.rnn], zr[args.rnn:]
-        n = jnp.tanh(jnp.concatenate([obs, r * h]) @ params["wn"]
+        n = jnp.tanh(jnp.concatenate([x, r * h]) @ params["wn"]
                      + params["bn"])
         h = (1.0 - z) * h + z * n
         return mlp_apply(params["head"],
-                         jnp.concatenate([h, obs])), h
+                         jnp.concatenate([h, x])), h
+
+    def with_prev(h_core, raw):
+        return jnp.concatenate([h_core, raw]) if n_prev else h_core
 
     def policy(params, obs, h):
-        pre, h = policy_step(params, h, obs)
+        pre, hc = policy_step(params, h, obs)
         raw = jnp.tanh(pre)
-        return low + (raw + 1.0) * 0.5 * (high - low), h
+        return low + (raw + 1.0) * 0.5 * (high - low), with_prev(hc, raw)
 
     def make_rollout(core_t, geo_r):
         def rollout(params, state0, obs0, key):
-            def body(carry, k):
-                state, obs, h = carry
-                pre, h = policy_step(params, h, obs)
+            def body(c, k):
+                state, obs, h = c
+                pre, hc = policy_step(params, h, obs)
                 if args.act_noise > 0.0:
                     pre = pre + args.act_noise * jax.random.normal(
                         k, pre.shape)
                 raw = jnp.tanh(pre)
+                h = with_prev(hc, raw)
                 a = low + (raw + 1.0) * 0.5 * (high - low)
                 state, res = core_t.step(state, a)
                 sdf0, sdfr = capsule_sdf(state, res.info.position)
@@ -438,18 +471,19 @@ def main():
                     dd = res.info.delta_d
                 dd = jnp.maximum(dd, args.d_floor)
                 return (state, res.obs, h), (dd, sdf0, sdfr,
-                                             jnp.mean(pre ** 2))
-            _, (d, sdf0, sdfr, pre2) = jax.lax.scan(
+                                             jnp.mean(pre ** 2),
+                                             jnp.abs(state.vehicle[6]))
+            _, (d, sdf0, sdfr, pre2, spd) = jax.lax.scan(
                 body, (state0, obs0, h0),
                 jax.random.split(key, args.horizon))
-            return d, sdf0, sdfr, pre2
+            return d, sdf0, sdfr, pre2, spd
         return rollout
 
     def make_instance_loss(core_t, geo_r):
         rollout = make_rollout(core_t, geo_r)
 
         def instance_loss(params, state0, obs0, key):
-            d, sdf0, sdfr, pre2 = rollout(params, state0, obs0, key)
+            d, sdf0, sdfr, pre2, spd = rollout(params, state0, obs0, key)
         # Smooth first-passage objective with episode semantics: eval
         # TERMINATES on collision, so a rollout that grazes a shell and
         # then "docks" must earn nothing.  Kill probability comes from
@@ -478,8 +512,14 @@ def main():
             # 0.2 softness ~ the shell-graze length scale
             ring_hinge = jnp.mean(
                 0.2 * jax.nn.softplus((args.ring_margin - sdfr) / 0.2))
+            # speed-x-proximity: grazing ring passages at cruise leave no
+            # correction margin (turn radius 2.7-2.9 m vs 4.5 m gaps)
+            ring_slow = jnp.mean(
+                jax.nn.sigmoid((args.ring_margin - sdfr) / 0.2)
+                * jax.nn.relu(spd - args.ring_slow_vcap))
             return (soft_min + args.mean_d * jnp.mean(d)
                     + args.ring_clear * ring_hinge
+                    + args.ring_slow * ring_slow
                     + args.act_reg * jnp.mean(pre2))
         return instance_loss
 
@@ -576,11 +616,13 @@ def main():
             keys, jnp.zeros((32,), jnp.int32))
         hs = jnp.zeros((32,) + h0.shape)
 
-        def body(carry, _):
-            st, ob, hs = carry
-            pre, hs = jax.vmap(
+        def body(c, _):
+            st, ob, hs = c
+            pre, hcs = jax.vmap(
                 lambda o, h: policy_step(params, h, o))(ob, hs)
-            a = low + (jnp.tanh(pre) + 1.0) * 0.5 * (high - low)
+            raw = jnp.tanh(pre)
+            hs = jax.vmap(with_prev)(hcs, raw)
+            a = low + (raw + 1.0) * 0.5 * (high - low)
             st, res = jax.vmap(core.step)(st, a)
             return (st, res.obs, hs), jnp.mean(jnp.abs(pre) > 3.0)
         _, sat = jax.lax.scan(body, (states, obs, hs), None, length=100)

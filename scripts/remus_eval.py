@@ -42,26 +42,36 @@ def mlp_apply(params, x):
 def build_policy(params, low, high):
     """Return (policy_step(obs, h) -> (action, h'), h0) for either pytree
     layout written by remus_apg.py: a GRU dict {wzr,bzr,wn,bn,head} or a
-    plain MLP list of (w, b)."""
+    plain MLP list of (w, b).  Policies trained with --prev-act have
+    input dim 39 (obs + previous raw action); the extra 3 slots ride at
+    the tail of the carry vector."""
     if isinstance(params, dict):
         H = params["bn"].shape[0]
+        n_prev = params["wzr"].shape[0] - H - 36  # 0, or 3 (--prev-act)
 
-        def step(obs, h):
-            xh = jnp.concatenate([obs, h])
+        def step(obs, h_ext):
+            h = h_ext[:H]
+            x = (jnp.concatenate([obs, h_ext[H:]]) if n_prev else obs)
+            xh = jnp.concatenate([x, h])
             zr = jax.nn.sigmoid(xh @ params["wzr"] + params["bzr"])
             z, r = zr[:H], zr[H:]
-            n = jnp.tanh(jnp.concatenate([obs, r * h]) @ params["wn"]
+            n = jnp.tanh(jnp.concatenate([x, r * h]) @ params["wn"]
                          + params["bn"])
             h = (1.0 - z) * h + z * n
-            pre = mlp_apply(params["head"], jnp.concatenate([h, obs]))
+            pre = mlp_apply(params["head"], jnp.concatenate([h, x]))
             raw = jnp.tanh(pre)
-            return low + (raw + 1.0) * 0.5 * (high - low), h
-        return step, jnp.zeros((H,))
+            h_out = jnp.concatenate([h, raw]) if n_prev else h
+            return low + (raw + 1.0) * 0.5 * (high - low), h_out
+        return step, jnp.zeros((H + n_prev,))
+
+    n_prev = params[0][0].shape[0] - 36
 
     def step(obs, h):
-        raw = jnp.tanh(mlp_apply(params, obs))
-        return low + (raw + 1.0) * 0.5 * (high - low), h
-    return step, jnp.zeros((0,))
+        x = jnp.concatenate([obs, h]) if n_prev else obs
+        raw = jnp.tanh(mlp_apply(params, x))
+        return low + (raw + 1.0) * 0.5 * (high - low), \
+            (raw if n_prev else h)
+    return step, jnp.zeros((n_prev,))
 
 
 def wilson(p, n, z=1.96):
