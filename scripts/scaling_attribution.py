@@ -76,7 +76,7 @@ for l in lines:
 # All sites except the standalone advantage-moment psum live in the
 # minibatch-scan body and execute once per minibatch; trip count is
 # n_epochs * (n_steps * n_envs / batch_size)
-trips = m.n_steps * m.n_envs // m.batch_size * m.n_epochs
+trips = m.cfg.n_steps * m.n_envs // m.cfg.batch_size * m.cfg.n_epochs
 runtime = (len(lines) - 1) * trips + 1
 print("CENSUS " + json.dumps({{"all_reduce_sites": len(lines),
                                "minibatch_trips": trips,
@@ -92,8 +92,10 @@ print("CENSUS " + json.dumps({{"all_reduce_sites": len(lines),
         raise RuntimeError(r.stderr[-3000:])
     line = [l for l in r.stdout.splitlines() if l.startswith("CENSUS ")][0]
     rec = json.loads(line[len("CENSUS "):])
-    print(f"census: {rec['all_reduce_ops']} all-reduce ops / iteration, "
-          f"{rec['payload_bytes'] / 1024:.1f} KiB total payload")
+    print(f"census: {rec['all_reduce_sites']} all-reduce sites "
+          f"({rec['runtime_all_reduces']} executions / iteration at "
+          f"{rec['minibatch_trips']} minibatch trips), "
+          f"{rec['payload_bytes'] / 1024:.1f} KiB payload per pass")
     return rec
 
 
