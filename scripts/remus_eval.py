@@ -88,6 +88,11 @@ def main():
     ap.add_argument("--key", type=int, default=42)
     ap.add_argument("--chunk", type=int, default=512,
                     help="episodes per device batch (memory bound)")
+    ap.add_argument("--json-out", default=None,
+                    help="also write the eval record to this path (e.g. "
+                    "logs/remus_crack/FLAGSHIP.json, which "
+                    "scenario_matrix.py report picks up for the flagship "
+                    "row)")
     ap.add_argument("--diag", action="store_true",
                     help="also report the failure taxonomy: success split "
                     "by goal side (near = goal azimuth within 90 deg of "
@@ -170,6 +175,15 @@ def main():
     print(f"{args.policy}: {n} episodes  success={p:.4f} "
           f"[{lo:.4f}, {hi:.4f}]95  collision={pc:.4f} "
           f"timeout={1 - p - pc:.4f}")
+    if args.json_out:
+        import json
+        with open(args.json_out, "w") as f:
+            json.dump({"policy": args.policy, "episodes": n,
+                       "success": float(p), "wilson95": [float(lo), float(hi)],
+                       "collision": float(pc), "key": args.key,
+                       "far_success": float(goal[far].mean()),
+                       "near_success": float(goal[~far].mean())}, f,
+                      indent=1)
     if args.diag:
         nf, nn = far.sum(), (~far).sum()
         fail = ~goal

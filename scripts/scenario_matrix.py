@@ -291,6 +291,19 @@ def report():
              "|---|---|---|---|---|---|"]
     for env_id in ROWS:
         path = f"{OUT}/{env_id}.json"
+        if ROWS[env_id] is None:
+            fp = "logs/remus_crack/FLAGSHIP.json"
+            if os.path.exists(fp):
+                d = json.load(open(fp))
+                lo, hi = d["wilson95"]
+                lines.append(
+                    f"| {env_id} | crack study ({os.path.basename(d['policy'])}) "
+                    f"| **{d['success']:.3f}** [{lo:.3f}, {hi:.3f}] "
+                    f"| {d['collision']:.3f} | see docs/performance.md "
+                    f"| {d['episodes']} eps |")
+            else:
+                lines.append(f"| {env_id} | crack study | (pending) | | | |")
+            continue
         if not os.path.exists(path):
             lines.append(f"| {env_id} | — | (not yet run) | | | |")
             continue
