@@ -128,6 +128,9 @@ ROWS = {
 
 
 SMOKE = bool(int(os.environ.get("MATRIX_SMOKE", "0")))
+# wall-clock pressure valve: scales every recipe's budget_mult (e.g. 0.6
+# late in a round when the heavy rows must fit the remaining TPU time)
+BUDGET_MULT = float(os.environ.get("MATRIX_BUDGET_MULT", "1.0"))
 
 
 def wilson(p, n, z=1.96):
@@ -197,7 +200,7 @@ def run_recipe(env_id, recipe, seed=0):
             model.set_env(env)
         chunk = max(steps // 4, 1)
         spent, det = 0, 0.0
-        while spent < steps * recipe["budget_mult"]:
+        while spent < steps * recipe["budget_mult"] * BUDGET_MULT:
             model.learn(total_timesteps=chunk, reset_num_timesteps=False)
             spent += chunk
             suc = (float(np.mean([e["goal"] for e in model.ep_info_buffer]))
