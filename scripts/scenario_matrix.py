@@ -101,6 +101,22 @@ VANILLA_SAC = dict(name="sac-vanilla", algo="sac",
 HERW_SAC = dict(name="hersac-window", algo="hersac", stages=HER_WINDOW,
                 hyper={**SAC_HYPER, "n_sampled_goal": 4}, vector_env=64,
                 gate=0.55, budget_mult=2.0)
+# BlueROV2 HER escalation: the WINLAD-PPO attempt measured 0.01-0.02 on
+# its near-goal stages — PPO's bottleneck is TERMINAL PRECISION at the
+# 0.5 m on-shell goal (0.29 of ladder episodes still end in collision),
+# which spawn windows don't address but hindsight relabeling does.
+HERW_BLUEROV = dict(name="hersac-window", algo="hersac",
+                    stages=[({"spawn_lerp_min": 0.05,
+                              "spawn_lerp_max": 0.35,
+                              "spawn_clearance": 0.3}, 3 * M),
+                            ({"spawn_lerp_min": 0.2,
+                              "spawn_lerp_max": 0.6,
+                              "spawn_clearance": 0.3}, 3 * M),
+                            ({"spawn_lerp_min": 0.5,
+                              "spawn_clearance": 0.3}, 3 * M),
+                            ({}, 4 * M)],
+                    hyper={**SAC_HYPER, "n_sampled_goal": 4},
+                    vector_env=64, gate=0.55, budget_mult=1.5)
 
 # Row spec: list of (recipe, accept_threshold) attempts.  The row stops at
 # the first attempt whose TRUE-config det success >= accept; otherwise the
@@ -252,6 +268,30 @@ def _stage_det(model, env_id, cfg, seed, n_episodes=128):
     return float(np.asarray(rollout(params, jax.random.PRNGKey(seed))).mean())
 
 
+def run_extra(env_id, recipe, accept, seed=0):
+    """Run ONE extra recipe attempt and merge into the row's existing
+    json (keeps whichever attempt evals best) — for escalations decided
+    after the row already ran, without re-training earlier attempts."""
+    path = f"{OUT}/{env_id}.json"
+    rec0 = json.load(open(path))
+    model, stage_log, wall = run_recipe(env_id, recipe, seed=seed)
+    ev = true_eval(model, env_id)
+    rec = {"attempt": len(rec0["attempts"]),
+           "recipe": recipe.get("name", recipe["algo"]),
+           "algo": recipe["algo"], "stages": stage_log,
+           "total_steps": int(model.num_timesteps), "wall_s": wall,
+           "true_eval": ev}
+    rec0["attempts"].append(rec)
+    if ev["success"] > rec0["chosen"]["true_eval"]["success"]:
+        rec0["chosen"] = rec
+        model.save(f"{OUT}/{env_id.replace('-v0', '')}_model")
+    with open(path, "w") as f:
+        json.dump(rec0, f, indent=1)
+    print(f"[{env_id}] EXTRA {rec['recipe']}: {ev} "
+          f"(chosen: {rec0['chosen']['recipe']} "
+          f"{rec0['chosen']['true_eval']['success']:.3f})", flush=True)
+
+
 def run_row(env_id, seed=0):
     os.makedirs(OUT, exist_ok=True)
     attempts = ROWS[env_id]
@@ -330,6 +370,9 @@ def main():
         return
     if sys.argv[1] == "report":
         report()
+        return
+    if len(sys.argv) > 2 and sys.argv[2] == "--extra-hersac":
+        run_extra(sys.argv[1], HERW_BLUEROV, 0.85)
         return
     seed = int(sys.argv[2]) if len(sys.argv) > 2 else 0
     run_row(sys.argv[1], seed=seed)
