@@ -101,10 +101,10 @@ VANILLA_SAC = dict(name="sac-vanilla", algo="sac",
 HERW_SAC = dict(name="hersac-window", algo="hersac", stages=HER_WINDOW,
                 hyper={**SAC_HYPER, "n_sampled_goal": 4}, vector_env=64,
                 gate=0.55, budget_mult=2.0)
-# BlueROV2 HER escalation: the WINLAD-PPO attempt measured 0.01-0.02 on
-# its near-goal stages — PPO's bottleneck is TERMINAL PRECISION at the
-# 0.5 m on-shell goal (0.29 of ladder episodes still end in collision),
-# which spawn windows don't address but hindsight relabeling does.
+# BlueROV2 HER escalation (reserve attempt; in round 3 the window-ladder
+# itself cracked CapsuleDocking3d at 0.926 after a slow stage 0 —
+# near-goal PPO stages start at ~0.01 det but concentrate the terminal-
+# precision experience the tolerance ladder under-trains).
 HERW_BLUEROV = dict(name="hersac-window", algo="hersac",
                     stages=[({"spawn_lerp_min": 0.05,
                               "spawn_lerp_max": 0.35,
