@@ -5,8 +5,8 @@
 cd /root/repo
 export MATRIX_BUDGET_MULT=${MATRIX_BUDGET_MULT:-0.6}
 
-for row in CapsuleDocking3d_remus-v0 CapsuleCurrentDocking3d_remus-v0 \
-           ObstaclesDocking3d_remus-v0; do
+for row in SimpleCurrentDocking3d_remus-v0 CapsuleDocking3d_remus-v0 \
+           CapsuleCurrentDocking3d_remus-v0 ObstaclesDocking3d_remus-v0; do
   timeout 7200 python scripts/scenario_matrix.py "$row" \
     > "logs/r3/matrix_${row}.log" 2>&1
 done
