@@ -125,8 +125,10 @@ ROWS = {
     # --- BlueROV2 family -------------------------------------------------
     "SimpleDocking3d-v0": [(VANILLA_PPO, 0.95)],
     "SimpleCurrentDocking3d-v0": [(VANILLA_PPO, 0.95)],
-    "CapsuleDocking3d-v0": [(LADDER_PPO, 0.85), (WINLAD_PPO, 0.85)],
-    "CapsuleCurrentDocking3d-v0": [(LADDER_PPO, 0.85), (WINLAD_PPO, 0.85)],
+    # window-ladder first: it cracked CapsuleDocking3d at 0.926 in round 3
+    # while the plain tolerance ladder plateaued at 0.64 (docs/performance.md)
+    "CapsuleDocking3d-v0": [(WINLAD_PPO, 0.85), (LADDER_PPO, 0.85)],
+    "CapsuleCurrentDocking3d-v0": [(WINLAD_PPO, 0.85), (LADDER_PPO, 0.85)],
     "ObstaclesDocking3d-v0": [(LADDER_PPO, 0.85), (WINLAD_PPO, 0.85)],
     "ObstaclesNoCapDocking3d-v0": [(VANILLA_PPO, 0.9), (LADDER_PPO, 0.85)],
     "ObstaclesCurrentDocking3d-v0": [(LADDER_PPO, 0.85)],
