@@ -160,10 +160,21 @@ def dist_segment_point(
 ) -> jnp.ndarray:
     """Closest distance between a segment and a point (shape.py:393-417).
     Degenerate (zero-length, e.g. padded) segments are guarded: the result
-    is the point-to-l1 distance instead of NaN."""
-    n = jnp.linalg.norm(l2 - l1, axis=-1, keepdims=True)
-    degenerate = n[..., 0] == 0.0
-    d = (l2 - l1) / jnp.where(n == 0.0, 1.0, n)
+    is the point-to-l1 distance instead of NaN.
+
+    The guard is a DOUBLE where: guarding only the division still leaves
+    norm(0)'s NaN partial derivatives in the backward pass, and because
+    `po` is broadcast against the capsule-slot axis its cotangent SUMS
+    over slots — one padded slot's 0-cotangent x NaN-partial poisons the
+    whole position gradient (measured: every APG instance on the ring-
+    less Capsule*_remus scenarios had non-finite grads; the flagship
+    never hit it because all 5 of its capsule slots are real)."""
+    diff = l2 - l1
+    sq = jnp.sum(diff * diff, axis=-1, keepdims=True)
+    degenerate = sq[..., 0] == 0.0
+    safe = jnp.where(sq == 0.0, 1.0, diff)
+    n = jnp.sqrt(jnp.sum(safe * safe, axis=-1, keepdims=True))
+    d = safe / n
     s = jnp.sum((l1 - po) * d, axis=-1)
     t = jnp.sum((po - l2) * d, axis=-1)
     h = jnp.maximum(jnp.maximum(s, t), 0.0)

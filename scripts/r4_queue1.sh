@@ -1,0 +1,60 @@
+#!/bin/bash
+# Round-4 TPU queue 1: back-port the flagship APG recipe (GRU-64 +
+# prev-act + phase-split A/B/C + far-weight; ring levers where a ring
+# exists) across the weak REMUS matrix rows (VERDICT r3 item 2):
+#   ObstaclesDocking3d_remus    0.100 -> target >=0.6
+#   CapsuleDocking3d_remus      0.337
+#   CapsuleCurrentDocking3d_remus 0.376
+#   ObstaclesNoCapDocking3d_remus 0.623
+# Each row: A (pure approach, pen 0) -> B (collision fine-tune) -> C
+# (long cosine continuation), then a 1024-episode TRUE-config eval
+# merged into logs/matrix/<row>.json and committed (machines are
+# ephemeral; artifacts must land in git as soon as they exist).
+cd /root/repo
+mkdir -p logs/r4 logs/remus_crack
+WD="scripts/tpu_watchdog.sh"
+
+run_row() {
+  ENV=$1; TAG=$2; GUIDE=$3; RINGLEV=$4; A=$5; B=$6; C=$7
+  $WD logs/r4/${TAG}A.log 1200 3 -- \
+    python scripts/remus_apg.py --env "$ENV" $GUIDE --rnn 64 --prev-act \
+      --pen-weight 0 --d-floor 0.3 --mean-d 0.3 --lr 2e-3 --batch 128 \
+      --iters "$A" --eval-every 500 --eval-episodes 256 --seed 0 \
+      --tag "${TAG}A"
+  $WD logs/r4/${TAG}B.log 1200 3 -- \
+    python scripts/remus_apg.py --env "$ENV" $GUIDE --rnn 64 --prev-act \
+      --pen-weight 20 --pen-ring 40 $RINGLEV --d-floor 0.3 --mean-d 0.1 \
+      --far-weight 2.0 --act-noise 0.05 --lr 1e-3 --batch 128 \
+      --iters "$B" --eval-every 200 --eval-episodes 1024 \
+      --init-params "logs/remus_crack/${TAG}A_final.pkl" --seed 1 \
+      --tag "${TAG}B"
+  $WD logs/r4/${TAG}C.log 1200 3 -- \
+    python scripts/remus_apg.py --env "$ENV" $GUIDE --rnn 64 --prev-act \
+      --pen-weight 20 --pen-ring 40 $RINGLEV --d-floor 0.3 --mean-d 0.1 \
+      --far-weight 2.0 --act-noise 0.05 --lr 7e-4 --batch 128 \
+      --iters "$C" --eval-every 200 --eval-episodes 1024 \
+      --init-params "logs/remus_crack/${TAG}B_policy.pkl" --seed 2 \
+      --tag "${TAG}C"
+  $WD logs/r4/${TAG}_merge.log 1200 3 -- \
+    python scripts/matrix_apg_merge.py "$ENV" \
+      "logs/remus_crack/${TAG}C_policy.pkl" --recipe apg-gru-backport \
+      --episodes 1024
+  if python -c "import json;json.load(open('logs/matrix/${ENV}.json'))"; then
+    git add -f "logs/matrix/${ENV}.json" "logs/remus_crack/${TAG}C_policy.pkl" \
+      "logs/remus_crack/${TAG}A.json" "logs/remus_crack/${TAG}B.json" \
+      "logs/remus_crack/${TAG}C.json" logs/r4/${TAG}*.log
+    git commit -q -m "matrix backport: ${ENV} APG result"
+  fi
+}
+
+# ring + center, no current: full flagship machinery
+run_row ObstaclesDocking3d_remus-v0 r4obs "--gap-via" \
+  "--ring-slow 0.5 --ring-clear 0.5" 3000 8000 16000
+# center only: geodesic guidance, ring levers inert (no ring capsules)
+run_row CapsuleDocking3d_remus-v0 r4cap "--geodesic" "" 2500 6000 13000
+run_row CapsuleCurrentDocking3d_remus-v0 r4capc "--geodesic" "" 2500 6000 13000
+# ring only, goal in open water: gap-via entry routing, tiny guidance
+# radius so the center geodesic reduces to straight-line distance
+run_row ObstaclesNoCapDocking3d_remus-v0 r4nocap \
+  "--gap-via --geo-radius 0.3" "--ring-slow 0.5 --ring-clear 0.5" \
+  2000 5000 10000

@@ -44,20 +44,38 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from gym_dockauv_tpu.envs.core import make_env
 from gym_dockauv_tpu.ops import rays
 
-ENV_ID = "ObstaclesCurrentDocking3d_remus-v0"
+DEFAULT_ENV = "ObstaclesCurrentDocking3d_remus-v0"
 OUT = "logs/remus_crack"
+
+# Scenario capsule-slot layout, set by main() from --env (round 4 made
+# this script env-generic so the flagship recipe back-ports to the other
+# remus matrix rows): slot 0 is the goal-carrying center capsule except
+# for the NoCap kinds, where the ring occupies slots 0-3
+# (gym_dockauv_tpu/envs/scenarios.py:126-145).
+_HAS_CENTER = True
+_RING_START = 1
 
 
 def capsule_sdf(state, position):
     """Signed distance to the collision shells (cap_r + safety 1.0),
-    split center (idx 0, carries the goal) vs ring (idx 1+): collision
-    telemetry on the apgB policy showed 61% of collisions are RING hits
-    at median delta_d=6.0 (mid-flight), which need early repulsion,
-    while the center shell carries the goal ON it and tolerates none."""
+    split center (goal-carrying) vs ring: collision telemetry on the
+    apgB policy showed 61% of collisions are RING hits at median
+    delta_d=6.0 (mid-flight), which need early repulsion, while the
+    center shell carries the goal ON it and tolerates none.  Scenarios
+    without a ring (Capsule*) mask the ring slots to +inf, which zeroes
+    every ring term downstream; scenarios without a center (NoCap) have
+    no center shell at all."""
     d = rays.dist_segment_point(position[..., None, :], state.cap_a, state.cap_b)
     sdf = d - state.cap_r - 1.0
-    sdf = jnp.where(state.cap_valid, sdf, jnp.inf)
-    return sdf[..., 0], jnp.min(sdf[..., 1:], axis=-1)
+    # mask with a large FINITE sentinel, not inf: a scenario with NO ring
+    # capsules makes sdf_ring identically inf, and the cummin/min VJP on
+    # an all-inf array is NaN (measured: bad=batch on CapsuleDocking3d
+    # smoke) — 1e4 m is beyond every shaping length scale, so the ring
+    # terms still evaluate to exactly 0 with clean zero gradients
+    sdf = jnp.where(state.cap_valid, sdf, 1e4)
+    center = (sdf[..., 0] if _HAS_CENTER
+              else jnp.full(sdf.shape[:-1], 1e4, sdf.dtype))
+    return center, jnp.min(sdf[..., _RING_START:], axis=-1)
 
 
 def geodesic_distance(position, goal, radius=1.9, chirality="none"):
@@ -207,6 +225,12 @@ def mlp_apply(params, x):
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--env", default=DEFAULT_ENV,
+                    help="any *_remus-v0 scenario; the guidance machinery "
+                    "degrades gracefully (no ring -> ring terms vanish "
+                    "via the inf-masked SDF; no center -> pass a small "
+                    "--geo-radius so the geodesic reduces to straight-"
+                    "line distance)")
     ap.add_argument("--iters", type=int, default=3000)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--horizon", type=int, default=300)
@@ -363,6 +387,12 @@ def main():
                     help="output filename stem under logs/remus_crack/")
     args = ap.parse_args()
 
+    global _HAS_CENTER, _RING_START
+    drop_center = "NoCap" in args.env
+    _HAS_CENTER = (("Capsule" in args.env or "Obstacles" in args.env)
+                   and not drop_center)
+    _RING_START = 0 if drop_center else 1
+
     if args.stages:
         stages = []
         for s in args.stages.split(","):
@@ -374,7 +404,7 @@ def main():
         stages = [(1.0, args.iters, 1.0, 1.0)]
     total_iters = sum(s[1] for s in stages)
 
-    core = make_env(ENV_ID)
+    core = make_env(args.env)
     tol = float(core.config.dist_goal_reached_tol)
     low = jnp.asarray(core.action_low).at[0:2].set(-0.52)
     high = jnp.asarray(core.action_high).at[0:2].set(0.52)
@@ -458,8 +488,8 @@ def main():
                 state, res = core_t.step(state, a)
                 sdf0, sdfr = capsule_sdf(state, res.info.position)
                 if args.gap_via:
-                    ring_az = jnp.arctan2(state.cap_a[1, 1],
-                                          state.cap_a[1, 0])
+                    ring_az = jnp.arctan2(state.cap_a[_RING_START, 1],
+                                          state.cap_a[_RING_START, 0])
                     dd = gap_via_distance(res.info.position, state.goal,
                                           ring_az, radius=geo_r,
                                           chirality=args.chirality)
@@ -645,7 +675,7 @@ def main():
                 spawn_clearance=args.spawn_clearance if window else 0.0,
                 spawn_speed=args.spawn_speed if window else 0.0,
                 spawn_aim=args.spawn_aim and window)
-            core_t = make_env(ENV_ID, config=cfg_t)
+            core_t = make_env(args.env, config=cfg_t)
         else:
             center_scale = 1.0
             core_t = core

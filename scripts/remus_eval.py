@@ -29,7 +29,7 @@ jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
 from gym_dockauv_tpu.envs.core import make_env
 from gym_dockauv_tpu.ops.rays import dist_segment_point
 
-ENV_ID = "ObstaclesCurrentDocking3d_remus-v0"
+DEFAULT_ENV = "ObstaclesCurrentDocking3d_remus-v0"
 
 
 def mlp_apply(params, x):
@@ -84,6 +84,9 @@ def wilson(p, n, z=1.96):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("policy")
+    ap.add_argument("--env", default=DEFAULT_ENV,
+                    help="any *_remus-v0 scenario (round 4: the APG "
+                    "recipe back-ports across the matrix)")
     ap.add_argument("--episodes", type=int, default=2048)
     ap.add_argument("--key", type=int, default=42)
     ap.add_argument("--chunk", type=int, default=512,
@@ -104,7 +107,7 @@ def main():
     with open(args.policy, "rb") as f:
         params = jax.tree_util.tree_map(jnp.asarray, pickle.load(f))
 
-    core = make_env(ENV_ID)
+    core = make_env(args.env)
     # same effective-actuator fin band the APG policies were trained over
     # (the in-dynamics saturation clips at +/-0.52 rad, remus100.py:462-470)
     low = jnp.asarray(core.action_low).at[0:2].set(-0.52)
@@ -137,7 +140,10 @@ def main():
                 res.info.position[:, None, :], states.cap_a, states.cap_b)
             d_caps = jnp.where(states.cap_valid,
                                d_caps - states.cap_r, jnp.inf)
-            ring_hit = jnp.argmin(d_caps, axis=-1) > 0
+            # slot 0 is the center capsule except for NoCap scenarios,
+            # where the ring occupies slots 0-3 (scenarios.py:126-145)
+            ring_start = 0 if "NoCap" in args.env else 1
+            ring_hit = jnp.argmin(d_caps, axis=-1) >= ring_start
             goal = goal | (res.info.goal_reached & alive)
             col = col | just_col
             colr = colr | (just_col & ring_hit)

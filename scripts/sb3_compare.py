@@ -124,6 +124,182 @@ def run_sb3(algo, kind, steps, seed):
     _dump("sb3", algo, kind, seed, steps, episodes, time.perf_counter() - t0)
 
 
+# ------------------------------------------------- SB3 side, vectorized
+def run_sb3_vec(algo, kind, steps, seed, n_envs, det_eval=256,
+                ckpt_every=500_000, resume=False):
+    """Reference-recipe SB3 run: SubprocVecEnv(n_envs) + the reference's
+    own *_HYPER_PARAMS_TEST dicts (DRL_hyperparams.py:55-106 — exactly
+    what main.py/main_remus.py pass to train.train()), periodic model
+    checkpoints, per-worker Monitor csvs merged into the episode history,
+    and a final deterministic eval with a Wilson interval.
+
+    This is the harness for (a) the flagship plateau bound — does the
+    reference's own 16-worker SAC recipe exceed our 0.515 on
+    ObstaclesCurrentDocking3d_remus? — and (b) the full-recipe
+    learning-curve comparison (main.py:53-63 scale).
+    """
+    os.environ.setdefault("TQDM_DISABLE", "1")
+    import torch
+
+    torch.set_num_threads(2)
+    from scripts.sb3_stub import install
+
+    install()
+    from tests.reference_oracle import load_reference
+
+    load_reference()
+    import copy
+
+    import numpy as np
+
+    remus = kind.endswith("Remus")
+    if remus:
+        import gym_dockauv.envs.docking3d_remus as ref_dock
+        from gym_dockauv.config.env_config import (
+            TRAIN_CONFIG_remus as REF_TRAIN,
+        )
+    else:
+        import gym_dockauv.envs.docking3d as ref_dock
+        from gym_dockauv.config.env_config import TRAIN_CONFIG as REF_TRAIN
+    from gym_dockauv.config.DRL_hyperparams import (
+        PPO_HYPER_PARAMS_TEST,
+        SAC_HYPER_PARAMS_TEST,
+    )
+
+    run_dir = os.path.join("/tmp", "sb3_vec", f"{algo}_{kind}_s{seed}")
+    os.makedirs(run_dir, exist_ok=True)
+    env_cls = getattr(ref_dock, KIND_TO_REF[kind])
+
+    def make_factory(i):
+        def _make():
+            cfg = copy.deepcopy(REF_TRAIN)
+            if remus:
+                cfg["vehicle"] = "remus100"
+            cfg["index"] = i  # per-worker episode-file index (train.py:58-71)
+            cfg["save_path_folder"] = os.path.join(run_dir, f"env_{i}")
+            os.makedirs(cfg["save_path_folder"], exist_ok=True)
+            cfg["verbose"] = 0
+            cfg["log_level"] = 50
+            cfg["interval_datastorage"] = 10 ** 9
+            env = env_cls(cfg)
+            from stable_baselines3.common.monitor import Monitor
+
+            return Monitor(env, os.path.join(run_dir, f"mon_{i}"),
+                           info_keywords=("goal_reached", "collision"))
+        return _make
+
+    from stable_baselines3.common.vec_env import SubprocVecEnv
+
+    # fork: children inherit the installed gym/skimage stubs + reference
+    # sys.path (forkserver/spawn re-import a bare interpreter)
+    venv = SubprocVecEnv([make_factory(i) for i in range(n_envs)],
+                         start_method="fork")
+
+    hyper = copy.deepcopy(
+        SAC_HYPER_PARAMS_TEST if algo == "sac" else PPO_HYPER_PARAMS_TEST)
+    hyper["device"] = "cpu"
+    hyper["tensorboard_log"] = None
+    hyper["seed"] = seed
+    hyper["verbose"] = 0
+    np.random.seed(seed)
+    from stable_baselines3 import PPO as SB3PPO
+    from stable_baselines3 import SAC as SB3SAC
+
+    cls = SB3SAC if algo == "sac" else SB3PPO
+    ckpt = os.path.join(run_dir, "ckpt")
+    if resume and os.path.exists(ckpt + ".zip"):
+        model = cls.load(ckpt, env=venv, device="cpu")
+        print(f"resumed from {ckpt}.zip at {model.num_timesteps} steps",
+              flush=True)
+    else:
+        model = cls("MlpPolicy", venv, **hyper)
+
+    def parse_monitors():
+        import csv as _csv
+
+        rows = []
+        for i in range(n_envs):
+            path = os.path.join(run_dir, f"mon_{i}.monitor.csv")
+            if not os.path.exists(path):
+                continue
+            with open(path) as f:
+                rdr = _csv.reader(f)
+                header = None
+                for row in rdr:
+                    if row and row[0].startswith("#"):
+                        continue
+                    if header is None:
+                        header = row
+                        continue
+                    d = dict(zip(header, row))
+                    rows.append((float(d["t"]), float(d["r"]),
+                                 int(float(d["l"])),
+                                 d.get("goal_reached", "False") == "True"))
+        rows.sort()
+        episodes, tot = [], 0
+        for t, r, l, g in rows:
+            tot += l
+            episodes.append([tot, r, l, g])
+        return episodes
+
+    state = {"last_ckpt": model.num_timesteps, "t0": time.perf_counter()}
+
+    def cb(locals_, globals_):
+        n = model.num_timesteps
+        if n - state["last_ckpt"] >= ckpt_every:
+            state["last_ckpt"] = n
+            model.save(ckpt)
+            eps = parse_monitors()
+            _dump("sb3", algo, kind, seed, n, eps,
+                  time.perf_counter() - state["t0"])
+            trail = [e[3] for e in eps[-100:]]
+            print(f"[sb3 {algo} {kind} s{seed}] {n} steps, "
+                  f"{len(eps)} eps, trail100 success "
+                  f"{np.mean(trail) if trail else 0.0:.3f}", flush=True)
+        return True
+
+    t0 = state["t0"]
+    model.learn(total_timesteps=steps, callback=cb,
+                reset_num_timesteps=not resume)
+    model.save(ckpt)
+    wall = time.perf_counter() - t0
+    episodes = parse_monitors()
+    venv.close()
+
+    # ---- deterministic eval on a fresh env (true config) ---------------
+    det = None
+    if det_eval:
+        env = make_factory(999)()
+        succ = coll = 0
+        for ep in range(det_eval):
+            obs = env.reset()
+            done = False
+            while not done:
+                a, _ = model.predict(obs, deterministic=True)
+                obs, _, done, info = env.step(a)
+            succ += bool(info.get("goal_reached"))
+            coll += bool(info.get("collision"))
+        p = succ / det_eval
+        z = 1.96
+        den = 1 + z * z / det_eval
+        c = (p + z * z / (2 * det_eval)) / den
+        half = z * np.sqrt(p * (1 - p) / det_eval
+                           + z * z / (4 * det_eval ** 2)) / den
+        det = {"episodes": det_eval, "success": p,
+               "wilson95": [c - half, c + half],
+               "collision": coll / det_eval}
+        print(f"[sb3 {algo} {kind} s{seed}] det eval: {det}", flush=True)
+
+    os.makedirs(OUT_DIR, exist_ok=True)
+    with open(_out_path("sb3", algo, kind, seed), "w") as f:
+        json.dump({"impl": "sb3", "algo": algo, "kind": kind, "seed": seed,
+                   "steps": int(model.num_timesteps), "wall_s": wall,
+                   "n_envs": n_envs, "hyper": "reference-test",
+                   "det_eval": det, "episodes": episodes}, f)
+    print(f"wrote {_out_path('sb3', algo, kind, seed)} "
+          f"({len(episodes)} episodes, {wall:.0f}s)", flush=True)
+
+
 # --------------------------------------------------------------- our side
 def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
     import jax
@@ -310,9 +486,20 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
     ap.add_argument("--n-envs", type=int, default=1)
+    ap.add_argument("--vec", type=int, default=0,
+                    help="SB3 side: SubprocVecEnv worker count (reference "
+                    "recipe: 8 bluerov / 16 remus) + reference TEST "
+                    "hyper-params; 0 = legacy single-env default-hyper run")
+    ap.add_argument("--det-eval", type=int, default=256)
+    ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
     if args.mode == "sb3":
-        run_sb3(args.algo, args.kind, args.steps, args.seed)
+        if args.vec:
+            run_sb3_vec(args.algo, args.kind, args.steps, args.seed,
+                        args.vec, det_eval=args.det_eval,
+                        resume=args.resume)
+        else:
+            run_sb3(args.algo, args.kind, args.steps, args.seed)
     elif args.mode == "ours":
         run_ours(args.algo, args.kind, args.steps, args.seed,
                  args.platform, args.n_envs)

@@ -30,6 +30,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -149,6 +150,17 @@ SMOKE = bool(int(os.environ.get("MATRIX_SMOKE", "0")))
 # wall-clock pressure valve: scales every recipe's budget_mult (e.g. 0.6
 # late in a round when the heavy rows must fit the remaining TPU time)
 BUDGET_MULT = float(os.environ.get("MATRIX_BUDGET_MULT", "1.0"))
+
+
+def atomic_dump(obj, path):
+    """ADVICE r3: the queue scripts commit row JSONs on existence; an
+    in-flight watchdog kill mid-json.dump must never leave a truncated
+    file to commit — write to a temp file and os.replace()."""
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or ".",
+                               suffix=".tmp")
+    with os.fdopen(fd, "w") as f:
+        json.dump(obj, f, indent=1)
+    os.replace(tmp, path)
 
 
 def wilson(p, n, z=1.96):
@@ -281,14 +293,14 @@ def run_extra(env_id, recipe, accept, seed=0):
     rec = {"attempt": len(rec0["attempts"]),
            "recipe": recipe.get("name", recipe["algo"]),
            "algo": recipe["algo"], "stages": stage_log,
+           "budget_mult": BUDGET_MULT,
            "total_steps": int(model.num_timesteps), "wall_s": wall,
            "true_eval": ev}
     rec0["attempts"].append(rec)
     if ev["success"] > rec0["chosen"]["true_eval"]["success"]:
         rec0["chosen"] = rec
         model.save(f"{OUT}/{env_id.replace('-v0', '')}_model")
-    with open(path, "w") as f:
-        json.dump(rec0, f, indent=1)
+    atomic_dump(rec0, path)
     print(f"[{env_id}] EXTRA {rec['recipe']}: {ev} "
           f"(chosen: {rec0['chosen']['recipe']} "
           f"{rec0['chosen']['true_eval']['success']:.3f})", flush=True)
@@ -313,7 +325,8 @@ def run_row(env_id, seed=0):
         model, stage_log, wall = run_recipe(env_id, recipe, seed=seed)
         ev = true_eval(model, env_id)
         rec = {"attempt": j, "recipe": name, "algo": recipe["algo"],
-               "stages": stage_log, "total_steps": int(model.num_timesteps),
+               "stages": stage_log, "budget_mult": BUDGET_MULT,
+               "total_steps": int(model.num_timesteps),
                "wall_s": wall, "true_eval": ev}
         records.append(rec)
         print(f"[{env_id}] attempt {j} TRUE EVAL: {ev}", flush=True)
@@ -323,9 +336,8 @@ def run_row(env_id, seed=0):
             break
     rec, model = best
     model.save(f"{OUT}/{env_id.replace('-v0', '')}_model")
-    with open(f"{OUT}/{env_id}.json", "w") as f:
-        json.dump({"env_id": env_id, "seed": seed, "chosen": rec,
-                   "attempts": records}, f, indent=1)
+    atomic_dump({"env_id": env_id, "seed": seed, "chosen": rec,
+                 "attempts": records}, f"{OUT}/{env_id}.json")
     print(f"[{env_id}] DONE: {rec['recipe']} "
           f"success={rec['true_eval']['success']:.3f} "
           f"wilson95={rec['true_eval']['wilson95']}", flush=True)
