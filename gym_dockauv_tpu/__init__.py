@@ -19,6 +19,14 @@ from .envs import (
 
 __version__ = "0.1.0"
 
+# Mirror the reference's import-time gym registration
+# (gym_dockauv/__init__.py:4-8) into gymnasium when it is importable, so
+# `gymnasium.make("SimpleDocking3d-v0")` is a literal drop-in.  No-op
+# (returns False) without gymnasium.
+from .envs.gymnasium_shim import register_gymnasium_envs
+
+register_gymnasium_envs()
+
 
 def make(env_id: str, env_config=None, **kwargs) -> GymDockingEnv:
     """gym.make-style entry point over the registration dict

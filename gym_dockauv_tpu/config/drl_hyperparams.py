@@ -50,6 +50,7 @@ class SACConfig:
     tau: float = 0.005
     gamma: float = 0.99
     train_freq: int = 1
+    train_freq_unit: str = "step"  # "step" | "episode" (sac.py:40 tuple form)
     gradient_steps: int = 1
     ent_coef: str | float = "auto"
     target_update_interval: int = 1
@@ -90,8 +91,16 @@ class A2CConfig:
 
 @dataclasses.dataclass(frozen=True)
 class TD3Config:
-    """SB3 TD3 defaults (td3/td3.py:16-120).  train_freq here is always in
-    env steps (the in-graph collect loop has no episode-unit scheduling)."""
+    """SB3 TD3 defaults (td3/td3.py:16-120).
+
+    `train_freq_unit="episode"` activates SB3's episode-unit scheduling
+    (TD3/DDPG default `train_freq=(1, "episode")`, td3/td3.py:73): collect
+    whole episodes, then `gradient_steps` updates (-1 = one per env step
+    collected, SB3's default pairing).  The SB3 ctor tuple form
+    `train_freq=(1, "episode")` is accepted and mapped onto these two
+    fields.  The default here stays step-based: it is the fused in-graph
+    fast path; the episode path is host-driven (off_policy.py
+    `_episode_iteration`)."""
 
     learning_rate: float = 1e-3
     buffer_size: int = 1_000_000
@@ -100,11 +109,19 @@ class TD3Config:
     tau: float = 0.005
     gamma: float = 0.99
     train_freq: int = 1
-    gradient_steps: int = 1
+    train_freq_unit: str = "step"  # "step" | "episode"
+    gradient_steps: int = 1  # -1 (episode unit only): one per step collected
     policy_delay: int = 2
     target_policy_noise: float = 0.2
     target_noise_clip: float = 0.5
-    action_noise_std: float = 0.0  # NormalActionNoise sigma (0 = no noise)
+    action_noise_std: float = 0.0  # noise sigma (0 = no exploration noise)
+    # "normal" = NormalActionNoise (noise.py:23-52); "ou" =
+    # OrnsteinUhlenbeckActionNoise (noise.py:55-110) with theta/dt below
+    # and per-env state carried in the learner state (reset on episode
+    # done, off_policy_algorithm.py:615)
+    action_noise_type: str = "normal"
+    action_noise_theta: float = 0.15
+    action_noise_dt: float = 1e-2
     seed: Optional[int] = None
     net_arch: Tuple[int, ...] = (400, 300)
     tensorboard_log: Optional[str] = None

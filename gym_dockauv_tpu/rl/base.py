@@ -75,8 +75,18 @@ class BaseAlgorithm:
                  device: str = "auto", **hyper):
         assert policy in ("MlpPolicy",), "only MlpPolicy exists for these envs"
         cfg = config or self.config_cls()
+        # SB3 ctor sugar: train_freq=(1, "episode") tuples map onto the
+        # (train_freq, train_freq_unit) config fields (td3/td3.py:73)
+        if isinstance(hyper.get("train_freq"), (tuple, list)):
+            freq, unit = hyper["train_freq"]
+            hyper = {**hyper, "train_freq": int(freq),
+                     "train_freq_unit": str(unit)}
         if hyper:
             cfg = cfg.replace(**hyper)
+        if (getattr(cfg, "gradient_steps", 0) < 0
+                and getattr(cfg, "train_freq_unit", "step") != "episode"):
+            raise ValueError("gradient_steps=-1 (one update per collected "
+                             "step) requires train_freq_unit='episode'")
         if getattr(cfg, "tensorboard_log", None) and tensorboard_log is None:
             tensorboard_log = cfg.tensorboard_log
         self.cfg = cfg
@@ -110,6 +120,15 @@ class BaseAlgorithm:
 
     def _iteration(self, state, progress_remaining):
         raise NotImplementedError
+
+    def _run_iteration(self, progress_remaining: float):
+        """One learn-loop turn: returns (metrics, ep_stats, steps_advanced).
+        Default = the fused jitted `_iteration` (fixed step count);
+        OffPolicyAlgorithm overrides for episode-unit train_freq, where the
+        step count is data-dependent."""
+        self._state, metrics, ep_stats = self._iteration_jit(
+            self._state, jnp.asarray(progress_remaining, jnp.float32))
+        return metrics, ep_stats, self._steps_per_iteration
 
     @property
     def _steps_per_iteration(self) -> int:
@@ -162,9 +181,9 @@ class BaseAlgorithm:
             callback.init_callback(self)
         while self.num_timesteps < target:
             progress_remaining = 1.0 - self.num_timesteps / max(target, 1)
-            self._state, metrics, ep_stats = self._iteration_jit(
-                self._state, jnp.asarray(progress_remaining, jnp.float32))
-            self.num_timesteps += self._steps_per_iteration
+            metrics, ep_stats, advanced = self._run_iteration(
+                progress_remaining)
+            self.num_timesteps += advanced
             it += 1
             self._absorb_episode_stats(ep_stats)
             if callback is not None:

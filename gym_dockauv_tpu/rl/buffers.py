@@ -22,7 +22,12 @@ class ReplayState:
     next_obs: jnp.ndarray  # (C, N, O)
     actions: jnp.ndarray  # (C, N, A) stored scaled to [-1,1] (SB3 convention)
     rewards: jnp.ndarray  # (C, N)
-    dones: jnp.ndarray  # (C, N) float32 (timeout-adjusted if enabled)
+    dones: jnp.ndarray  # (C, N) float32.  Timeouts ARE terminal here, which
+    # matches the reference exactly: SB3's handle_timeout_termination
+    # (buffers.py:257) keys on info["TimeLimit.truncated"], which the
+    # gym-0.21 docking envs never set — the reference's timeout episodes
+    # are stored as plain terminals too (docs/parity.md "Timeout
+    # semantics"), so no adjustment knob exists on either side.
     pos: jnp.ndarray  # () int32 next write slot
     full: jnp.ndarray  # () bool
 

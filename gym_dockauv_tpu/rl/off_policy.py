@@ -75,7 +75,9 @@ class OffPolicyAlgorithm(BaseAlgorithm):
         def body(carry, _):
             st = carry
             key, k_act, k_rand = jax.random.split(st.key, 3)
-            scaled_policy = self._explore_action(st, st.last_obs, k_act)
+            out = self._explore_action(st, st.last_obs, k_act)
+            # stateful exploration (OU noise) returns (action, state)
+            scaled_policy, st = out if isinstance(out, tuple) else (out, st)
             scaled_rand = self._random_action(
                 st, k_rand, scaled_policy.shape)
             warmup = st.num_ts < learning_starts
@@ -93,9 +95,81 @@ class OffPolicyAlgorithm(BaseAlgorithm):
             st = st.replace(replay=replay, env_states=env_states,
                             last_obs=res.obs, key=key,
                             num_ts=st.num_ts + self.n_envs)
+            st = self._post_step(st, res)
             return st, stats
 
         return jax.lax.scan(body, state, None, length=n_steps)
+
+    def _post_step(self, st, res):
+        """Per-step hook after the env transition (e.g. OU-noise reset on
+        episode done, off_policy_algorithm.py:615)."""
+        return st
+
+    def _run_iteration(self, progress_remaining: float):
+        if getattr(self.cfg, "train_freq_unit", "step") == "step":
+            return super()._run_iteration(progress_remaining)
+        return self._episode_iteration(progress_remaining)
+
+    def _episode_iteration(self, progress_remaining: float):
+        """SB3 episode-unit train_freq (off_policy_algorithm.py:555-623 +
+        utils.should_collect_more_steps): step the vec env until
+        `train_freq` episodes have finished anywhere in the batch, then run
+        `gradient_steps` updates (-1 = one per env step collected, the SB3
+        default pairing for TD3/DDPG's (1, "episode") train_freq).
+
+        Host-driven by necessity — the collect length is data-dependent —
+        so each env step and each gradient update is its own device
+        dispatch.  That is exactly the reference's execution model (and
+        still ~10x its throughput on CPU), but orders of magnitude slower
+        than the fused step-unit path; use it for SB3 semantics parity,
+        not for production training."""
+        import numpy as np
+
+        cfg = self.cfg
+        if not hasattr(self, "_collect1_jit"):
+            self._collect1_jit = jax.jit(lambda st: self._collect(st, 1))
+
+            def _upd1(st, i):
+                batch_size = self._local_batch(st.last_obs.shape[0],
+                                               cfg.batch_size)
+                key, k_samp, k_upd = jax.random.split(st.key, 3)
+                batch = self._sample_replay(st.replay, k_samp, batch_size)
+                st, metrics = self._grad_update(
+                    st, batch, jnp.asarray(True), i, k_upd)
+                return st.replace(key=key), metrics
+
+            self._update1_jit = jax.jit(_upd1)
+
+        episodes = 0
+        steps = 0
+        # every episode terminates within max_timesteps (is_done's cap), so
+        # this bound is unreachable unless the env is broken
+        bound = int(self.core.config.max_timesteps) + 2
+        chunks = []
+        while episodes < cfg.train_freq and steps < bound:
+            self._state, stats = self._collect1_jit(self._state)
+            chunks.append(stats)
+            episodes += int(np.asarray(stats.dones).sum())
+            steps += 1
+        ep_stats = jax.tree_util.tree_map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *chunks)
+
+        metrics: dict = {}
+        if int(self._state.num_ts) >= cfg.learning_starts:
+            n_updates = (cfg.gradient_steps if cfg.gradient_steps >= 0
+                         else steps * self.n_envs)
+            acc = []
+            for i in range(n_updates):
+                self._state, m = self._update1_jit(
+                    self._state, jnp.asarray(i, jnp.int32))
+                acc.append(m)
+            if acc:
+                metrics = {k: jnp.mean(jnp.stack([m[k] for m in acc]))
+                           for k in acc[0]}
+                metrics = self._pmean(metrics)
+        metrics.update(self._extra_iteration_metrics(
+            self._state, jnp.asarray(progress_remaining, jnp.float32)))
+        return metrics, ep_stats, steps * self.n_envs
 
     def _iteration(self, state, progress_remaining):
         """One jitted program = jit_iters x (collect train_freq steps ->

@@ -3,10 +3,14 @@
 SB3 1.5.0 semantics (td3/td3.py:16-220; ddpg/ddpg.py:102-113): deterministic
 tanh actor with actor-target, twin (TD3) or single (DDPG) critics, clipped
 Gaussian target-policy smoothing, delayed policy + target updates every
-`policy_delay` gradient steps, optional exploration action noise.  DDPG is
-TD3 with policy_delay=1, target_noise_clip=0, n_critics=1.  One deviation:
-`train_freq` counts env steps only (the reference's "(1, episode)" unit has
-no in-graph equivalent; step-based scheduling is the documented substitute).
+`policy_delay` gradient steps, optional exploration action noise — Gaussian
+(noise.py:23-52) or Ornstein-Uhlenbeck (noise.py:55-110, per-env process
+state carried in TD3State and reset on episode done).  DDPG is TD3 with
+policy_delay=1, target_noise_clip=0, n_critics=1.  `train_freq` supports
+both SB3 units: env steps (the fused in-graph fast path, our default) and
+the SB3-default `(1, "episode")` scheduling (host-driven
+`_episode_iteration` in off_policy.py, with gradient_steps=-1 = one update
+per collected env step).
 """
 from __future__ import annotations
 
@@ -37,6 +41,9 @@ class TD3State:
     key: jax.Array
     num_ts: jnp.ndarray
     n_updates: jnp.ndarray
+    # (n_envs, n_act) Ornstein-Uhlenbeck process state; all-zero (and
+    # unused) unless cfg.action_noise_type == "ou"
+    ou_state: jnp.ndarray = None
 
 
 class TD3(OffPolicyAlgorithm):
@@ -74,7 +81,8 @@ class TD3(OffPolicyAlgorithm):
             critic_opt=self.critic_tx.init(critic_params),
             replay=self._init_replay(), env_states=env_states, last_obs=obs,
             key=self.key, num_ts=jnp.zeros((), jnp.int32),
-            n_updates=jnp.zeros((), jnp.int32))
+            n_updates=jnp.zeros((), jnp.int32),
+            ou_state=jnp.zeros((self.n_envs, core.n_actions), jnp.float32))
         self._action_low = jnp.asarray(core.action_low, jnp.float32)
         self._action_high = jnp.asarray(core.action_high, jnp.float32)
 
@@ -83,11 +91,31 @@ class TD3(OffPolicyAlgorithm):
         return q if isinstance(q, tuple) else (q,)
 
     def _explore_action(self, state: TD3State, obs, key):
+        cfg = self.cfg
         a = self.actor.apply(state.actor_params, obs)
-        if self.cfg.action_noise_std > 0:
-            a = a + self.cfg.action_noise_std * jax.random.normal(
-                key, a.shape, a.dtype)
-        return jnp.clip(a, -1.0, 1.0)
+        if cfg.action_noise_std > 0:
+            if cfg.action_noise_type == "ou":
+                # OrnsteinUhlenbeckActionNoise step (noise.py:55-110):
+                # per-env process state lives in TD3State, reset on done
+                # by _post_step (off_policy_algorithm.py:615)
+                noise = (state.ou_state
+                         + cfg.action_noise_theta * (0.0 - state.ou_state)
+                         * cfg.action_noise_dt
+                         + cfg.action_noise_std
+                         * jnp.sqrt(cfg.action_noise_dt)
+                         * jax.random.normal(key, a.shape, a.dtype))
+                state = state.replace(ou_state=noise)
+            else:
+                noise = cfg.action_noise_std * jax.random.normal(
+                    key, a.shape, a.dtype)
+            a = a + noise
+        return jnp.clip(a, -1.0, 1.0), state
+
+    def _post_step(self, st: TD3State, res):
+        if self.cfg.action_noise_type == "ou" and self.cfg.action_noise_std > 0:
+            return st.replace(ou_state=jnp.where(
+                res.done[:, None], 0.0, st.ou_state))
+        return st
 
     def _grad_update(self, state: TD3State, batch, should_train, i, key):
         cfg = self.cfg
