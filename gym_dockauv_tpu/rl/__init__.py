@@ -16,6 +16,7 @@ from .td3 import TD3
 from .ddpg import DDPG
 from .dqn import DQN
 from .her import HerDDPG, HerSAC, HerTD3
+from .sb3_io import from_sb3_zip, read_sb3_zip
 
 __all__ = ["APG", "PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
-           "HerSAC", "HerTD3", "HerDDPG"]
+           "HerSAC", "HerTD3", "HerDDPG", "from_sb3_zip", "read_sb3_zip"]
