@@ -49,14 +49,22 @@ m = PPO(env="SimpleDocking3d-v0", n_envs=E, n_steps={n_steps},
 shard_algorithm(m, mesh=make_mesh())
 spi = m._steps_per_iteration
 m.learn(total_timesteps=2 * spi)          # compile + warmup
+import os as _os
 t0 = time.perf_counter()
+c0 = _os.times()
 m.learn(total_timesteps={iters} * spi, reset_num_timesteps=False)
 jax.tree_util.tree_leaves(m._state.params)[0].block_until_ready()
 dt = time.perf_counter() - t0
+c1 = _os.times()
+# busy cores this process burned during the measurement (compute +
+# dispatch + any spinning collective threads) — the attribution signal
+# for coupled-vs-independent CPU cost on a core-limited rig
+cpu_util = (c1.user - c0.user + c1.system - c0.system) / dt
 if jax.process_index() == 0:
     print("BENCH_JSON " + json.dumps(
         {{"devices": n_dev, "env_steps_per_s": {iters} * spi / dt,
           "envs_per_device": {envs_per_device}, "iters": {iters},
+          "cpu_util": round(cpu_util, 3),
           "processes": jax.process_count()}}), flush=True)
 """
 
@@ -97,8 +105,19 @@ def run_multiprocess(n, args):
             "launch.initialize_distributed()")
     script = _script(n, args.envs_per_device, args.n_steps, args.iters,
                      "cpu", init=init)
+    cpu_pin = None
+    if args.pin_cores:
+        # constant per-process core budget across rows (the pod topology:
+        # one process per host, each owning its cores).  Unpinned, every
+        # XLA CPU process burns ~2.2 cores in runtime helper threads
+        # (measured via os.times cpu_util), so 2 coupled processes
+        # oversubscribe a 4-core host and the measurement reads as a fake
+        # collective-path loss.
+        b = args.pin_cores
+        cpu_pin = [f"{i * b}-{(i + 1) * b - 1}" for i in range(n)]
     results = spawn_cpu_workers(
         script, n_processes=n, devices_per_process=1, timeout=900,
+        cpu_pin=cpu_pin,
         extra_env={"XLA_FLAGS":
                    "--xla_force_host_platform_device_count=1 " + _CPU_XLA})
     for r in results:
@@ -122,6 +141,10 @@ def main():
     ap.add_argument("--n-steps", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
+    ap.add_argument("--pin-cores", type=int, default=0,
+                    help="multiprocess: taskset each worker to this many "
+                    "dedicated cores (constant per-process budget across "
+                    "rows — fair weak scaling on a shared host)")
     ap.add_argument("--write-md", action="store_true")
     args = ap.parse_args()
 

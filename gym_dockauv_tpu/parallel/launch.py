@@ -112,6 +112,7 @@ def spawn_cpu_workers(script: str, n_processes: int,
                       port: Optional[int] = None,
                       extra_env: Optional[Dict[str, str]] = None,
                       timeout: float = 600.0,
+                      cpu_pin: Optional[List[str]] = None,
                       ) -> List[subprocess.CompletedProcess]:
     """Run `script` (python source text) in n_processes fresh interpreters
     wired into one multi-process CPU cluster (Gloo collectives).
@@ -142,8 +143,16 @@ def spawn_cpu_workers(script: str, n_processes: int,
         })
         if extra_env:
             env.update(extra_env)
+        # optional per-worker core pinning: on a core-limited shared host
+        # the XLA CPU runtime's helper threads burn ~2.2 cores/process
+        # unconstrained (measured, SCALING.md), so fair weak-scaling
+        # measurements must hold the per-process core budget constant —
+        # which is the real pod topology (one process per host)
+        argv = [sys.executable, "-c", script]
+        if cpu_pin is not None:
+            argv = ["taskset", "-c", cpu_pin[pid]] + argv
         procs.append(subprocess.Popen(
-            [sys.executable, "-c", script], env=env,
+            argv, env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
     done = []
     try:

@@ -163,8 +163,11 @@ class PPO(BaseAlgorithm):
                 advantages.std(ddof=1) + 1e-8)  # torch-unbiased std
         n_shards = jax.lax.psum(1, self.axis_name)
         n_global = advantages.size * n_shards
-        m1 = jax.lax.pmean(advantages.mean(), self.axis_name)
-        m2 = jax.lax.pmean(jnp.mean(jnp.square(advantages)), self.axis_name)
+        # one fused all-reduce for both moments (collective-count matters
+        # on the DCN path, SCALING.md)
+        m1, m2 = jax.lax.pmean(
+            jnp.stack([advantages.mean(),
+                       jnp.mean(jnp.square(advantages))]), self.axis_name)
         # Bessel-corrected variance from global moments == std(ddof=1)
         var = (m2 - jnp.square(m1)) * (n_global / (n_global - 1))
         return (advantages - m1) / (jnp.sqrt(jnp.maximum(var, 0.0)) + 1e-8)
@@ -238,9 +241,12 @@ class PPO(BaseAlgorithm):
             (loss, aux), grads = jax.value_and_grad(self._loss, has_aux=True)(
                 params, batch, clip_range)
             # data-parallel: all-reduce grads/diagnostics over the mesh so
-            # every replica applies the identical update (incl. the KL gate)
-            grads = self._pmean(grads)
-            aux = self._pmean(aux)
+            # every replica applies the identical update (incl. the KL gate).
+            # ONE pmean call site for both trees: the DCN/Gloo path is
+            # collective-COUNT-bound (SCALING.md attribution — 9 small
+            # all-reduces dominated the N=2 multi-process loss), and a
+            # single site lets XLA emit one combined all-reduce
+            grads, aux = self._pmean((grads, aux))
             if cfg.target_kl is not None:
                 # SB3 breaks BEFORE applying the offending update (ppo.py:252-259)
                 cont = cont & (aux["approx_kl"] <= 1.5 * cfg.target_kl)
