@@ -42,11 +42,11 @@ def _out_path(impl, algo, kind, seed):
     return os.path.join(OUT_DIR, f"{impl}_{algo}_{kind}_s{seed}.json")
 
 
-def _dump(impl, algo, kind, seed, steps, episodes, wall_s):
+def _dump(impl, algo, kind, seed, steps, episodes, wall_s, **extra):
     os.makedirs(OUT_DIR, exist_ok=True)
     with open(_out_path(impl, algo, kind, seed), "w") as f:
         json.dump({"impl": impl, "algo": algo, "kind": kind, "seed": seed,
-                   "steps": steps, "wall_s": wall_s,
+                   "steps": steps, "wall_s": wall_s, **extra,
                    "episodes": episodes}, f)
     print(f"wrote {_out_path(impl, algo, kind, seed)} "
           f"({len(episodes)} episodes, {wall_s:.0f}s)")
@@ -126,7 +126,7 @@ def run_sb3(algo, kind, steps, seed):
 
 # ------------------------------------------------- SB3 side, vectorized
 def run_sb3_vec(algo, kind, steps, seed, n_envs, det_eval=256,
-                ckpt_every=500_000, resume=False):
+                ckpt_every=500_000, resume=False, impl="sb3"):
     """Reference-recipe SB3 run: SubprocVecEnv(n_envs) + the reference's
     own *_HYPER_PARAMS_TEST dicts (DRL_hyperparams.py:55-106 — exactly
     what main.py/main_remus.py pass to train.train()), periodic model
@@ -250,7 +250,7 @@ def run_sb3_vec(algo, kind, steps, seed, n_envs, det_eval=256,
             state["last_ckpt"] = n
             model.save(ckpt)
             eps = parse_monitors()
-            _dump("sb3", algo, kind, seed, n, eps,
+            _dump(impl, algo, kind, seed, n, eps,
                   time.perf_counter() - state["t0"])
             trail = [e[3] for e in eps[-100:]]
             print(f"[sb3 {algo} {kind} s{seed}] {n} steps, "
@@ -291,17 +291,30 @@ def run_sb3_vec(algo, kind, steps, seed, n_envs, det_eval=256,
         print(f"[sb3 {algo} {kind} s{seed}] det eval: {det}", flush=True)
 
     os.makedirs(OUT_DIR, exist_ok=True)
-    with open(_out_path("sb3", algo, kind, seed), "w") as f:
-        json.dump({"impl": "sb3", "algo": algo, "kind": kind, "seed": seed,
+    with open(_out_path(impl, algo, kind, seed), "w") as f:
+        json.dump({"impl": impl, "algo": algo, "kind": kind, "seed": seed,
                    "steps": int(model.num_timesteps), "wall_s": wall,
                    "n_envs": n_envs, "hyper": "reference-test",
                    "det_eval": det, "episodes": episodes}, f)
-    print(f"wrote {_out_path('sb3', algo, kind, seed)} "
+    print(f"wrote {_out_path(impl, algo, kind, seed)} "
           f"({len(episodes)} episodes, {wall:.0f}s)", flush=True)
 
 
 # --------------------------------------------------------------- our side
-def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
+# our-side mirror of the reference's *_HYPER_PARAMS_TEST dicts
+# (DRL_hyperparams.py:55-106) — the hyper-params main.py/main_remus.py
+# actually train with
+OURS_TEST_PPO = dict(learning_rate=3e-4, n_steps=2048, batch_size=8192,
+                     n_epochs=10, gamma=0.97, gae_lambda=0.90,
+                     clip_range=0.2, ent_coef=0.0, vf_coef=0.5,
+                     max_grad_norm=0.5)
+OURS_TEST_SAC = dict(learning_rate=1.5e-3, buffer_size=50_000,
+                     learning_starts=100, batch_size=100, tau=0.005,
+                     gamma=0.99, train_freq=1, gradient_steps=1)
+
+
+def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1,
+             hyper="default", det_eval=0, impl="ours"):
     import jax
 
     if platform == "cpu":
@@ -321,12 +334,14 @@ def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
 
         env = make_gym(env_id, TRAIN_CONFIG_REMUS())
     if algo == "ppo":
-        model = PPO(env=env, n_envs=n_envs, seed=seed)
+        kw = dict(OURS_TEST_PPO) if hyper == "test" else {}
+        model = PPO(env=env, n_envs=n_envs, seed=seed, **kw)
     else:
         # jit_iters only fuses host dispatches (semantics per cycle are
         # unchanged); n_envs=1 SAC is dispatch-bound on CPU without it
-        model = SAC(env=env, n_envs=n_envs, seed=seed, jit_iters=50,
-                    buffer_size=min(1_000_000, max(steps, 10_000)))
+        kw = (dict(OURS_TEST_SAC) if hyper == "test"
+              else dict(buffer_size=min(1_000_000, max(steps, 10_000))))
+        model = SAC(env=env, n_envs=n_envs, seed=seed, jit_iters=50, **kw)
     model.ep_info_buffer = deque(maxlen=10 ** 9)  # keep the full history
     episodes = []
 
@@ -347,7 +362,16 @@ def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1):
 
     t0 = time.perf_counter()
     model.learn(total_timesteps=steps, callback=Collector(), log_interval=0)
-    _dump("ours", algo, kind, seed, steps, episodes, time.perf_counter() - t0)
+    wall = time.perf_counter() - t0
+    det = None
+    if det_eval:
+        from scripts.scenario_matrix import true_eval
+
+        det = true_eval(model, env_id, n_episodes=det_eval)
+        print(f"[ours {algo} {kind} s{seed}] det eval: {det}", flush=True)
+    _dump(impl, algo, kind, seed, steps, episodes, wall,
+          n_envs=n_envs, hyper=("reference-test" if hyper == "test"
+                                else "sb3-default"), det_eval=det)
 
 
 # ----------------------------------------------------------------- report
@@ -397,10 +421,11 @@ def report():
              " final success | episodes | wall s |",
              "|---|---|---|---|---|---|---|---|"]
     impls = ["sb3", "ours"] + sorted(
-        {r["impl"] for r in runs if r["impl"].startswith("ours-")})
+        {r["impl"] for r in runs if r["impl"] not in ("sb3", "ours")})
     palette = {"sb3": "tab:orange", "ours": "tab:blue"}
     for i, im in enumerate(im for im in impls if im not in palette):
-        palette[im] = ["tab:green", "tab:red", "tab:purple"][i % 3]
+        palette[im] = ["tab:green", "tab:red", "tab:purple",
+                       "tab:brown", "tab:pink"][i % 5]
     for row, (algo, kind) in enumerate(keys):
         ax_r, ax_s = axes[row]
         for impl in impls:
@@ -492,17 +517,27 @@ def main():
                     "hyper-params; 0 = legacy single-env default-hyper run")
     ap.add_argument("--det-eval", type=int, default=256)
     ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--impl", default=None,
+                    help="history label override (e.g. sb3-recipe / "
+                    "ours-recipe for full-recipe runs, so default-hyper "
+                    "histories are not overwritten)")
+    ap.add_argument("--hyper", default="default",
+                    choices=("default", "test"),
+                    help="ours side: 'test' mirrors the reference's "
+                    "*_HYPER_PARAMS_TEST dicts (the main.py recipes)")
     args = ap.parse_args()
     if args.mode == "sb3":
         if args.vec:
             run_sb3_vec(args.algo, args.kind, args.steps, args.seed,
                         args.vec, det_eval=args.det_eval,
-                        resume=args.resume)
+                        resume=args.resume, impl=args.impl or "sb3")
         else:
             run_sb3(args.algo, args.kind, args.steps, args.seed)
     elif args.mode == "ours":
         run_ours(args.algo, args.kind, args.steps, args.seed,
-                 args.platform, args.n_envs)
+                 args.platform, args.n_envs, hyper=args.hyper,
+                 det_eval=args.det_eval if args.hyper == "test" else 0,
+                 impl=args.impl or "ours")
     else:
         report()
 
