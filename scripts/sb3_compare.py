@@ -166,7 +166,9 @@ def run_sb3_vec(algo, kind, steps, seed, n_envs, det_eval=256,
         SAC_HYPER_PARAMS_TEST,
     )
 
-    run_dir = os.path.join("/tmp", "sb3_vec", f"{algo}_{kind}_s{seed}")
+    # persistent (the /tmp checkpoints died with the round-4 machine
+    # restart mid-flagship-run; logs/ survives in the repo checkout)
+    run_dir = os.path.join(REPO, "logs", "sb3_vec", f"{algo}_{kind}_s{seed}")
     os.makedirs(run_dir, exist_ok=True)
     env_cls = getattr(ref_dock, KIND_TO_REF[kind])
 
