@@ -16,7 +16,9 @@ from .td3 import TD3
 from .ddpg import DDPG
 from .dqn import DQN
 from .her import HerDDPG, HerSAC, HerTD3
+from .dict_obs import DictPPO, DictSAC, ObsSplit
 from .sb3_io import from_sb3_zip, read_sb3_zip
 
 __all__ = ["APG", "PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
-           "HerSAC", "HerTD3", "HerDDPG", "from_sb3_zip", "read_sb3_zip"]
+           "HerSAC", "HerTD3", "HerDDPG", "DictSAC", "DictPPO", "ObsSplit",
+           "from_sb3_zip", "read_sb3_zip"]

@@ -109,9 +109,7 @@ class PPO(BaseAlgorithm):
         buffer_size = cfg.n_steps * self.n_envs
         assert buffer_size % cfg.batch_size == 0, (
             f"batch_size {cfg.batch_size} must divide n_steps*n_envs {buffer_size}")
-        self.net = ActorCritic(n_actions=core.n_actions,
-                               net_arch=tuple(cfg.net_arch),
-                               log_std_init=cfg.log_std_init)
+        self._build_networks()
         self.key, k_init, k_env = jax.random.split(self.key, 3)
         params = self.net.init(k_init, jnp.zeros((1, core.n_observations)))
         self.lr_schedule = as_schedule(cfg.learning_rate)
@@ -133,6 +131,22 @@ class PPO(BaseAlgorithm):
         self._state = OnPolicyState(params, opt_state, env_states, obs, self.key)
         self._action_low = jnp.asarray(core.action_low, jnp.float32)
         self._action_high = jnp.asarray(core.action_high, jnp.float32)
+
+    def _build_networks(self):
+        """Policy-construction hook ("MlpPolicy" default); DictPPO overrides
+        with a MultiInputPolicy (rl/dict_obs.py)."""
+        cfg = self.cfg
+        self.net = ActorCritic(n_actions=self.core.n_actions,
+                               net_arch=tuple(cfg.net_arch),
+                               log_std_init=cfg.log_std_init)
+
+    @staticmethod
+    def _log_std_leaf(params):
+        """The state-independent log_std parameter, wherever the policy
+        module nests it (top level for ActorCritic, under 'head' for the
+        MultiInput wrapper)."""
+        p = params["params"]
+        return p["log_std"] if "log_std" in p else p["head"]["log_std"]
 
     def _to_env_action(self, action):
         """Policy sample -> env units (clip-only in SB3-parity mode).
@@ -267,7 +281,7 @@ class PPO(BaseAlgorithm):
             explained_variance(flat[3], flat[5]))
         metrics["learning_rate"] = lr
         metrics["clip_range"] = clip_range
-        metrics["std"] = jnp.mean(jnp.exp(params["params"]["log_std"]))
+        metrics["std"] = jnp.mean(jnp.exp(self._log_std_leaf(params)))
 
         new_state = OnPolicyState(params, opt_state, env_states, last_obs,
                                   next_key)

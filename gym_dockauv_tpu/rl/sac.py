@@ -49,8 +49,7 @@ class SAC(OffPolicyAlgorithm):
     def _setup_model(self) -> None:
         cfg = self.cfg
         core = self.core
-        self.actor = SACActor(core.n_actions, tuple(cfg.net_arch))
-        self.critic = TwinQCritic(tuple(cfg.net_arch))
+        self._build_networks()
         self.key, ka, kc, ke = jax.random.split(self.key, 4)
         obs0 = jnp.zeros((1, core.n_observations))
         act0 = jnp.zeros((1, core.n_actions))
@@ -94,6 +93,12 @@ class SAC(OffPolicyAlgorithm):
         )
         self._action_low = jnp.asarray(core.action_low, jnp.float32)
         self._action_high = jnp.asarray(core.action_high, jnp.float32)
+
+    def _build_networks(self):
+        """Policy-construction hook ("MlpPolicy" default); DictSAC overrides
+        with a MultiInputPolicy (rl/dict_obs.py)."""
+        self.actor = SACActor(self.core.n_actions, tuple(self.cfg.net_arch))
+        self.critic = TwinQCritic(tuple(self.cfg.net_arch))
 
     # ------------------------------------------------------------------
     def _explore_action(self, state: SACState, obs, key):
