@@ -99,12 +99,16 @@ def goal_view(obs: jnp.ndarray, env_states) -> Dict[str, jnp.ndarray]:
 # MultiInput networks (CombinedExtractor -> standard heads)
 # ---------------------------------------------------------------------------
 class CombinedExtractor(nn.Module):
-    """Flatten-and-concat feature extractor (torch_layers.py:241-282).
+    """Concat feature extractor for 1-D Box subspaces (torch_layers.py:241-282).
 
-    Accepts a dict observation; each entry is flattened over its feature
-    axes and the results concatenated in sorted-key order.  ``cnn_keys`` /
-    image handling is deliberately absent — the reference's envs have no
-    image subspaces, and the NatureCNN branch is dead code there.
+    Accepts a dict observation whose entries are 1-D feature vectors
+    (under arbitrary shared leading batch axes) and concatenates them in
+    sorted-key order — the exact shape family ``ObsSplit`` produces.
+    Multi-dim subspaces would need a per-key flatten against a known
+    space spec (SB3 keys it off the Space), which no env in this task
+    family has; ``cnn_keys`` / image handling is likewise deliberately
+    absent — the reference's envs have no image subspaces, and the
+    NatureCNN branch is dead code there.
     """
 
     @nn.compact
@@ -256,7 +260,11 @@ def dict_rollout_add(roll, t, obs, action, reward, done, value, log_prob):
 class _DictPredictMixin:
     """Accept dict observations on the SB3 predict surface
     (base_class.py:601-648 with MultiInputPolicy): a dict obs is flattened
-    through the split before the standard path."""
+    through the split before the standard path.  Also persists the split
+    spec through save()/load() — load() rebuilds via BaseAlgorithm.__init__
+    (skipping the Dict* __init__), so without the payload round-trip a
+    custom split would silently fall back to ``docking_split`` and slice
+    features differently than the net was trained with."""
 
     def predict(self, observation, state=None, episode_start=None,
                 deterministic: bool = False):
@@ -265,6 +273,17 @@ class _DictPredictMixin:
                 {k: jnp.asarray(v) for k, v in observation.items()})
         return super().predict(observation, state, episode_start,
                                deterministic)
+
+    def _save_payload(self):
+        payload = super()._save_payload()
+        payload["obs_split_spec"] = dict(self._obs_split.spec)
+        return payload
+
+    def _pre_load(self, payload) -> None:
+        super()._pre_load(payload)
+        spec = payload.get("obs_split_spec")
+        if spec is not None:
+            self._obs_split = ObsSplit(spec)
 
 
 class DictSAC(_DictPredictMixin, SAC):
@@ -347,4 +366,5 @@ class DictPPO(_DictPredictMixin, PPO):
     def _build_networks(self):
         cfg = self.cfg
         self.net = MultiInputActorCritic(self.core.n_actions, self._obs_split,
-                                         tuple(cfg.net_arch))
+                                         tuple(cfg.net_arch),
+                                         cfg.log_std_init)

@@ -140,3 +140,52 @@ def test_dict_sac_save_load(tmp_path):
     a1, _ = m.predict(obs, deterministic=True)
     a2, _ = m2.predict(obs, deterministic=True)
     np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
+def test_dict_sac_custom_split_survives_save_load(tmp_path):
+    """ADVICE r4: a non-default obs_split must round-trip through the
+    payload — load() skips DictSAC.__init__, so without the saved spec the
+    model would silently rebuild with docking_split and slice features
+    differently than the net was trained with."""
+    n = 36  # SimpleDocking3d_remus obs width
+    custom = ObsSplit({"a": (0, 10), "b": (10, 30), "c": (30, n)})
+    m = DictSAC(env=ENV, n_envs=2, learning_starts=4, buffer_size=64,
+                batch_size=4, train_freq=4, gradient_steps=1, seed=0,
+                obs_split=custom)
+    assert set(m._state.replay.obs) == {"a", "b", "c"}
+    m.learn(total_timesteps=16)
+    p = tmp_path / "dict_sac_custom"
+    m.save(str(p))
+    m2 = DictSAC.load(str(p), env=ENV)
+    assert m2.obs_split.spec == custom.spec
+    obs = np.random.default_rng(2).normal(size=(n,)).astype(np.float32)
+    a1, _ = m.predict(obs, deterministic=True)
+    a2, _ = m2.predict(obs, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
+def test_dict_ppo_custom_split_survives_save_load(tmp_path):
+    n = 36
+    custom = ObsSplit({"lo": (0, 18), "hi": (18, n)})
+    m = DictPPO(env=ENV, n_envs=2, n_steps=8, batch_size=8, seed=0,
+                obs_split=custom)
+    m.learn(total_timesteps=16)
+    p = tmp_path / "dict_ppo_custom"
+    m.save(str(p))
+    m2 = DictPPO.load(str(p), env=ENV)
+    assert m2.obs_split.spec == custom.spec
+    obs = np.random.default_rng(3).normal(size=(n,)).astype(np.float32)
+    a1, _ = m.predict(obs, deterministic=True)
+    a2, _ = m2.predict(obs, deterministic=True)
+    np.testing.assert_allclose(np.asarray(a2), np.asarray(a1), rtol=1e-6)
+
+
+def test_dict_ppo_log_std_init_propagates():
+    """ADVICE r4: DictPPO must forward cfg.log_std_init into the
+    MultiInputActorCritic (flat PPO does, ppo.py)."""
+    m = DictPPO(env=ENV, n_envs=2, n_steps=4, batch_size=4, seed=0,
+                log_std_init=-1.5)
+    log_std = jax.tree_util.tree_leaves(
+        {k: v for k, v in m._state.params["params"]["head"].items()
+         if k == "log_std"})[0]
+    np.testing.assert_allclose(np.asarray(log_std), -1.5, atol=1e-6)
