@@ -41,7 +41,8 @@ def fmt_row(rec) -> str:
     steps = ch.get("total_steps")
     steps_s = f"{steps/1e6:.1f}M" if steps else "—"
     n_att = len(rec.get("attempts", [rec["chosen"]]))
-    return (f"| {rec['env_id']} | {ch['algo']} | {ch['recipe']} | "
+    twin = " †" if rec.get("twin_note") else ""
+    return (f"| {rec['env_id']}{twin} | {ch['algo']} | {ch['recipe']} | "
             f"**{te.get('success', float('nan')):.3f}** "
             f"[{lo:.3f}, {hi:.3f}] | {te.get('collision', float('nan')):.3f} | "
             f"{te.get('episodes', 0)} | {steps_s} | {n_att} |")
@@ -84,6 +85,35 @@ def main() -> None:
         " | train steps | attempts |",
         "|---|---|---|---|---|---|---|---|",
         *rows,
+        "",
+        "## † Twin rows: Current/non-Current REMUS pairs are behaviorally"
+        " identical",
+        "",
+        "In the reference, every REMUS env's *step* fetches the water",
+        "current from the position-indexed grid field, which ignores the",
+        "Gauss-Markov current object entirely (the hard-coded `if True:`",
+        "branch, gym_dockauv/envs/docking3d_remus.py:355-365 calling",
+        "objects/current.py:50-62 with `position=`).  The `*Current*`"
+        " scenario",
+        "generators differ only in constructing a GM `Current` at reset —",
+        "state that the step path never reads.  Our port reproduces this",
+        "quirk exactly (gym_dockauv_tpu/envs/core.py `_nu_c`: family ==",
+        "'remus' always takes the grid field), so the pairs",
+        "CapsuleDocking3d_remus / CapsuleCurrentDocking3d_remus and",
+        "ObstaclesDocking3d_remus / ObstaclesCurrentDocking3d_remus are the",
+        "SAME task.  Consequences, deliberate and verified, not copy-paste",
+        "errors:",
+        "",
+        "- the Capsule twins are solved by one policy and their row",
+        "  artifacts carry identical eval numbers (same policy, same eval",
+        "  seed);",
+        "- the flagship ObstaclesCurrent policy (g3cE) back-ports to the",
+        "  Obstacles row at an unchanged score (measured: 0.486 on both at",
+        "  the shared eval seed; 0.489 on an independent 1024-episode draw,",
+        "  logs/remus_crack/g3cE_on_obs.json).",
+        "",
+        "The bluerov half has no such quirk (its step uses the GM current),",
+        "so its Current rows are genuinely distinct tasks.",
     ]
     if missing:
         lines += ["", "Missing rows: " + ", ".join(missing)]
