@@ -17,8 +17,8 @@ from .ddpg import DDPG
 from .dqn import DQN
 from .her import HerDDPG, HerSAC, HerTD3
 from .dict_obs import DictPPO, DictSAC, ObsSplit
-from .sb3_io import from_sb3_zip, read_sb3_zip
+from .sb3_io import from_sb3_zip, read_sb3_zip, to_sb3_zip
 
 __all__ = ["APG", "PPO", "SAC", "A2C", "TD3", "DDPG", "DQN",
            "HerSAC", "HerTD3", "HerDDPG", "DictSAC", "DictPPO", "ObsSplit",
-           "from_sb3_zip", "read_sb3_zip"]
+           "from_sb3_zip", "read_sb3_zip", "to_sb3_zip"]

@@ -1,4 +1,4 @@
-"""SB3 1.5.0 checkpoint interop: load reference-trained .zip models.
+"""SB3 1.5.0 checkpoint interop: load AND write reference-format .zip models.
 
 The reference saves/loads SB3 zip archives (stable_baselines3/common/
 save_util.py:1-447: `data` JSON + torch `policy.pth` state_dict +
@@ -19,11 +19,22 @@ Covered policies (all the reference ever trains):
 torch Linear stores weight as (out, in); flax Dense kernel is (in, out) —
 every weight is transposed on the way through.  net_arch is inferred from
 the weight shapes, so zips saved with any policy_kwargs load correctly.
+
+`to_sb3_zip` is the exact inverse: it writes our PPO/A2C/SAC/TD3/DDPG
+params into a zip that a stock SB3 1.5.0 `.load()` accepts end-to-end
+(data JSON incl. serialized policy_class + gym spaces, strict-matching
+policy.pth state_dict, fresh optimizer state dicts for set_parameters'
+exact_match, pytorch_variables.pth for SAC's log_ent_coef), so policies
+trained here evaluate in the reference's own predict/plot pipeline.  The
+serialized members are emitted as hand-built pickle GLOBAL/REDUCE streams
+(no gym/SB3/torch import needed to *reference* their classes), and torch
+is only needed to write the .pth tensors.
 """
 from __future__ import annotations
 
 import io
 import json
+import pickle
 import re
 import zipfile
 from typing import Dict, Optional
@@ -212,3 +223,259 @@ def from_sb3_zip(path: str, env, algo: str = "auto",
         return model
 
     raise ValueError(f"unsupported algo {kind!r}")
+
+
+# ---------------------------------------------------------------------------
+# export: our models -> stock SB3-1.5.0-loadable .zip (save_util.py:287-447)
+# ---------------------------------------------------------------------------
+class _Ref:
+    """A by-reference pickle of `module.name` — emitted as a raw GLOBAL
+    opcode so the *writer* never has to import the module (gym / SB3 are
+    not installed here); the *loader* (SB3's json_to_data ->
+    cloudpickle.loads) resolves it in its own environment."""
+
+    def __init__(self, module: str, name: str):
+        self.module, self.name = module, name
+
+
+class _Call:
+    """Pickles as `ref(*args)` via a REDUCE opcode (e.g. construct a
+    gym.spaces.Box(low, high) on the loader's side)."""
+
+    def __init__(self, ref: _Ref, *args):
+        self.ref, self.args = ref, args
+
+
+class _RefPickler(pickle._Pickler):  # pure-python Pickler: save() overridable
+    def save(self, obj, save_persistent_id=True):
+        if isinstance(obj, _Ref):
+            self.write(b"c" + obj.module.encode("utf-8") + b"\n"
+                       + obj.name.encode("utf-8") + b"\n")
+            self.memoize(obj)
+        elif isinstance(obj, _Call):
+            self.save(obj.ref)
+            self.save(tuple(obj.args))
+            self.write(b"R")
+            self.memoize(obj)
+        else:
+            super().save(obj, save_persistent_id)
+
+
+def _ref_pickle(obj) -> bytes:
+    buf = io.BytesIO()
+    _RefPickler(buf, protocol=2).dump(obj)
+    return buf.getvalue()
+
+
+def _data_to_json(data: Dict) -> str:
+    """SB3 save_util.data_to_json format (save_util.py:75-127): plain JSON
+    where possible, {":type:", ":serialized:"} cloudpickle-b64 otherwise."""
+    import base64
+
+    out = {}
+    for k, v in data.items():
+        try:
+            json.dumps(v)
+            out[k] = v
+        except (TypeError, ValueError):
+            out[k] = {
+                ":type:": str(type(v)),
+                ":serialized:": base64.b64encode(_ref_pickle(v)).decode(),
+            }
+    return json.dumps(out, indent=4)
+
+
+def _tt(w: np.ndarray):
+    """flax kernel (in, out) -> torch weight (out, in) tensor."""
+    import torch
+
+    return torch.from_numpy(np.asarray(w, np.float32).T.copy())
+
+
+def _tv(b: np.ndarray):
+    import torch
+
+    return torch.from_numpy(np.asarray(b, np.float32).copy())
+
+
+def _seq_sd(sd, prefix, mlp, start=0, stride=2):
+    """Write flax MLP {Dense_j} params as torch Sequential Linear keys."""
+    for j in range(len(mlp) if isinstance(mlp, (list, tuple)) else
+                   len([k for k in mlp if k.startswith("Dense_")])):
+        layer = mlp[f"Dense_{j}"]
+        i = start + stride * j
+        sd[f"{prefix}.{i}.weight"] = _tt(layer["kernel"])
+        sd[f"{prefix}.{i}.bias"] = _tv(layer["bias"])
+
+
+def _dense_sd(sd, prefix, leaf):
+    sd[f"{prefix}.weight"] = _tt(leaf["kernel"])
+    sd[f"{prefix}.bias"] = _tv(leaf["bias"])
+
+
+def _adam_state(n_params: int, lr: float) -> Dict:
+    """A fresh torch Adam state_dict: satisfies set_parameters' optimizer
+    slots (base_class.py:620-637 loads it verbatim; param count must match)."""
+    return {"state": {},
+            "param_groups": [{"lr": float(lr), "betas": (0.9, 0.999),
+                              "eps": 1e-8, "weight_decay": 0,
+                              "amsgrad": False, "maximize": False,
+                              "params": list(range(n_params))}]}
+
+
+def _spaces(core):
+    obs_low, obs_high = core.observation_bounds()
+    box = _Ref("gym.spaces", "Box")
+    obs_space = _Call(box, np.asarray(obs_low, np.float32),
+                      np.asarray(obs_high, np.float32))
+    act_space = _Call(box, np.asarray(core.action_low, np.float32),
+                      np.asarray(core.action_high, np.float32))
+    return obs_space, act_space
+
+
+def _n_leaves(tree) -> int:
+    return len(jax.tree_util.tree_leaves(tree))
+
+
+def to_sb3_zip(model, path: str) -> str:
+    """Write one of our trained models as a stock SB3-1.5.0 .zip.
+
+    The reverse of `from_sb3_zip`: `PPO.load(path)` / `SAC.load(path)` /
+    `TD3.load(path)` on a real SB3 1.5.0 install (or the reference's
+    vendored copy) reconstructs a torch policy whose deterministic
+    `predict` matches ours (tests/test_sb3_io.py round-trips this through
+    the vendored SB3).  Pass `env=None`-style loads work (spaces ship in
+    the data JSON); optimizers are fresh (state {}), so resumed *training*
+    on the SB3 side starts with reset Adam moments.
+    """
+    import torch
+
+    if not path.endswith(".zip"):
+        path = path + ".zip"
+    name = type(model).__name__
+    core = model.core
+    lr = float(getattr(model.cfg, "learning_rate", 3e-4))
+    obs_space, act_space = _spaces(core)
+    data = {
+        "observation_space": obs_space,
+        "action_space": act_space,
+        "n_envs": 1,
+        "verbose": 0,
+        "seed": None,
+        "learning_rate": lr,
+        "num_timesteps": int(model.num_timesteps),
+        "_total_timesteps": int(model.num_timesteps),
+    }
+    params: Dict[str, Dict] = {}
+    pytorch_variables = None
+
+    if name in ("PPO", "A2C"):
+        p = jax.device_get(model._state.params)["params"]
+        pi_arch = [np.shape(p["mlp_pi"][f"Dense_{j}"]["bias"])[0]
+                   for j in range(len(p["mlp_pi"]))]
+        vf_arch = [np.shape(p["mlp_vf"][f"Dense_{j}"]["bias"])[0]
+                   for j in range(len(p["mlp_vf"]))]
+        data.update({
+            "policy_class": _Ref("stable_baselines3.common.policies",
+                                 "ActorCriticPolicy"),
+            "policy_kwargs": {"net_arch": [{"pi": pi_arch, "vf": vf_arch}]},
+            "gamma": float(getattr(model.cfg, "gamma", 0.99)),
+        })
+        sd = {"log_std": _tv(p["log_std"])}
+        _seq_sd(sd, "mlp_extractor.policy_net", p["mlp_pi"])
+        _seq_sd(sd, "mlp_extractor.value_net", p["mlp_vf"])
+        _dense_sd(sd, "action_net", p["action_net"])
+        _dense_sd(sd, "value_net", p["value_net"])
+        params["policy"] = sd
+        params["policy.optimizer"] = _adam_state(_n_leaves(p), lr)
+
+    elif name == "SAC":
+        st = model._state
+        a = jax.device_get(st.actor_params)["params"]
+        c = jax.device_get(st.critic_params)["params"]
+        ct = jax.device_get(st.critic_target_params)["params"]
+        net_arch = [np.shape(a["latent_pi"][f"Dense_{j}"]["bias"])[0]
+                    for j in range(len(a["latent_pi"]))]
+        data.update({
+            "policy_class": _Ref("stable_baselines3.sac.policies",
+                                 "SACPolicy"),
+            "policy_kwargs": {"net_arch": net_arch},
+            "ent_coef": "auto",
+            # resolved numerically: "auto" needs an env at load time
+            # (sac.py:150-152), and env=None loads must work
+            "target_entropy": float(-core.n_actions),
+            "buffer_size": 10_000,  # keep stock-side loads lightweight
+            "gamma": float(getattr(model.cfg, "gamma", 0.99)),
+            "tau": float(getattr(model.cfg, "tau", 0.005)),
+        })
+        sd = {}
+        _seq_sd(sd, "actor.latent_pi", a["latent_pi"])
+        _dense_sd(sd, "actor.mu", a["mu"])
+        _dense_sd(sd, "actor.log_std", a["log_std"])
+        for pref, tree in (("critic", c), ("critic_target", ct)):
+            for qf in ("qf0", "qf1"):
+                _seq_sd(sd, f"{pref}.{qf}", tree[qf]["qf_latent"])
+                k = 2 * len(tree[qf]["qf_latent"])
+                _dense_sd(sd, f"{pref}.{qf}.{k}", tree[qf]["qf_out"])
+        params["policy"] = sd
+        params["actor.optimizer"] = _adam_state(_n_leaves(a), lr)
+        params["critic.optimizer"] = _adam_state(_n_leaves(c), lr)
+        params["ent_coef_optimizer"] = _adam_state(1, lr)
+        lec = float(np.asarray(jax.device_get(st.log_ent_coef)).reshape(()))
+        pytorch_variables = {"log_ent_coef":
+                             torch.tensor([lec], dtype=torch.float32)}
+
+    elif name in ("TD3", "DDPG"):
+        st = model._state
+        a = jax.device_get(st.actor_params)["params"]
+        at = jax.device_get(st.actor_target_params)["params"]
+        c = jax.device_get(st.critic_params)["params"]
+        ct = jax.device_get(st.critic_target_params)["params"]
+        twin = "qf1" in c
+        net_arch = [np.shape(a["latent_pi"][f"Dense_{j}"]["bias"])[0]
+                    for j in range(len(a["latent_pi"]))]
+        data.update({
+            "policy_class": _Ref("stable_baselines3.td3.policies",
+                                 "TD3Policy"),
+            "policy_kwargs": {"net_arch": net_arch},
+            "buffer_size": 10_000,
+            "gamma": float(getattr(model.cfg, "gamma", 0.99)),
+            "tau": float(getattr(model.cfg, "tau", 0.005)),
+        })
+        if name == "DDPG":
+            # DDPG = TD3 w/ a single critic; SB3 mirrors this via
+            # policy_kwargs (td3/policies.py n_critics)
+            data["policy_kwargs"]["n_critics"] = 1
+        sd = {}
+        for pref, tree in (("actor", a), ("actor_target", at)):
+            _seq_sd(sd, f"{pref}.mu", tree["latent_pi"])
+            k = 2 * len(tree["latent_pi"])
+            _dense_sd(sd, f"{pref}.mu.{k}", tree["mu"])
+        qfs = ("qf0", "qf1") if twin else ("qf0",)
+        for pref, tree in (("critic", c), ("critic_target", ct)):
+            src = tree if twin else {"qf0": tree}
+            for qf in qfs:
+                _seq_sd(sd, f"{pref}.{qf}", src[qf]["qf_latent"])
+                k = 2 * len(src[qf]["qf_latent"])
+                _dense_sd(sd, f"{pref}.{qf}.{k}", src[qf]["qf_out"])
+        params["policy"] = sd
+        params["actor.optimizer"] = _adam_state(_n_leaves(a), lr)
+        params["critic.optimizer"] = _adam_state(_n_leaves(c), lr)
+
+    else:
+        raise ValueError(f"to_sb3_zip: unsupported model type {name!r}")
+
+    with zipfile.ZipFile(path, mode="w") as z:
+        z.writestr("data", _data_to_json(data))
+        for fname, sdict in params.items():
+            buf = io.BytesIO()
+            torch.save(sdict, buf)
+            z.writestr(fname + ".pth", buf.getvalue())
+        if pytorch_variables is not None:
+            buf = io.BytesIO()
+            torch.save(pytorch_variables, buf)
+            z.writestr("pytorch_variables.pth", buf.getvalue())
+        z.writestr("_stable_baselines3_version", "1.5.0")
+        z.writestr("system_info.txt",
+                   "OS: exported by gym_dockauv_tpu rl/sb3_io.py\n")
+    return path
