@@ -41,6 +41,8 @@ run_sb3() {  # ALGO KIND SEED
     --steps 1000000 --seed "$3" --vec 8 --det-eval 256 \
     --impl sb3-recipe --resume \
     > "logs/r5/sb3r_$1_$2_s$3.log" 2>&1
+  python scripts/sb3_compare.py report >/dev/null 2>&1 || true
+  git add docs/sb3_comparison.md docs/sb3_comparison*.png 2>/dev/null
   git add docs/sb3/ "logs/r5/sb3r_$1_$2_s$3.log" logs/sb3_vec/ 2>/dev/null
   git commit -q -m "sb3 full-recipe $1 $2 s$3 (1M, vec8)" || true
 }

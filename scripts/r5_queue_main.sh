@@ -106,6 +106,8 @@ run_cmp() {  # ALGO KIND STEPS SEED VEC
     python scripts/sb3_compare.py ours --algo "$1" --kind "$2" \
       --steps "$3" --seed "$4" --n-envs "$5" --platform tpu --hyper test \
       --impl ours-recipe --det-eval 1024
+  python scripts/sb3_compare.py report >/dev/null 2>&1 || true
+  git add docs/sb3_comparison.md docs/sb3_comparison*.png 2>/dev/null
   git add docs/sb3/ logs/r5/ 2>/dev/null
   git commit -q -m "ours full-recipe: $1 $2 s$4" || true
 }
