@@ -34,9 +34,21 @@ python scripts/sb3_compare.py sb3 --algo sac --kind ObstaclesCurrentRemus \
 git add docs/sb3/sb3_sac_ObstaclesCurrentRemus_s0.json logs/r5/sb3_sac_ocr_s0_5m.log logs/sb3_vec/ 2>/dev/null
 git commit -q -m "sb3 flagship SAC s0 at 5M steps (reference recipe, vec16)" || true
 
+_complete() {  # JSON PATH, TARGET STEPS: done = full steps + det_eval present
+  python - "$1" "$2" <<'PY'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+    sys.exit(0 if d.get("det_eval") and d.get("steps", 0) >= int(sys.argv[2])
+             else 1)
+except Exception:
+    sys.exit(1)
+PY
+}
+
 run_sb3() {  # ALGO KIND SEED
   local OUT="docs/sb3/sb3-recipe_$1_$2_s$3.json"
-  [ -f "$OUT" ] && { echo "skip $OUT"; return; }
+  _complete "$OUT" 1000000 && { echo "skip $OUT"; return; }
   python scripts/sb3_compare.py sb3 --algo "$1" --kind "$2" \
     --steps 1000000 --seed "$3" --vec 8 --det-eval 256 \
     --impl sb3-recipe --resume \

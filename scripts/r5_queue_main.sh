@@ -99,9 +99,21 @@ git add logs/r5/ 2>/dev/null
 git commit -q -m "REMUS + default bench refresh after round-4 rays change" || true
 
 # ---- 5. ours-recipe comparison runs (item 5, TPU half) ------------------
+_complete() {  # JSON PATH, TARGET STEPS: done = full steps + det_eval present
+  python - "$1" "$2" <<'PY'
+import json, sys
+try:
+    d = json.load(open(sys.argv[1]))
+    sys.exit(0 if d.get("det_eval") and d.get("steps", 0) >= int(sys.argv[2])
+             else 1)
+except Exception:
+    sys.exit(1)
+PY
+}
+
 run_cmp() {  # ALGO KIND STEPS SEED VEC
   local OUT="docs/sb3/ours-recipe_$1_$2_s$4.json"
-  [ -f "$OUT" ] && { echo "skip $OUT"; return; }
+  _complete "$OUT" "$3" && { echo "skip $OUT"; return; }
   $WD "logs/r5/oursr_$2_$1_s$4.log" 900 3 -- \
     python scripts/sb3_compare.py ours --algo "$1" --kind "$2" \
       --steps "$3" --seed "$4" --n-envs "$5" --platform tpu --hyper test \
