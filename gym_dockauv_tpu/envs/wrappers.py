@@ -179,24 +179,122 @@ class VecNormalize(VecEnvWrapper):
                 dones, infos)
 
 
-class VecFrameStack(VecEnvWrapper):
-    """Stack the last n observations (StackedObservations role)."""
+def is_image_space(space) -> bool:
+    """3-D Box = image (preprocessing.py is_image_space role, shape-only:
+    we skip the dtype/bound checks because our adapters only build float
+    Boxes and the wrapper semantics depend on rank alone)."""
+    return len(getattr(space, "shape", ())) == 3
 
-    def __init__(self, venv, n_stack: int = 4):
+
+def is_image_space_channels_first(space) -> bool:
+    """Smallest-axis-first heuristic (preprocessing.py:is_image_space_
+    channels_first): (C,H,W) if the first axis is the smallest."""
+    return int(np.argmin(space.shape)) == 0
+
+
+class VecTransposeImage(VecEnvWrapper):
+    """Re-order image observations HxWxC -> CxHxW (vec_transpose.py:11-108).
+
+    In the reference this feeds torch Conv2d's channels-first layout.  No
+    docking env emits images (the radar fan is a flat ray block), so —
+    exactly like the reference, which ships it but never constructs it on
+    these tasks — this exists for API completeness and for user envs that
+    do produce images; dict observation spaces transpose their image
+    leaves only (vec_transpose.py:32-44).
+    """
+
+    def __init__(self, venv, skip: bool = False):
+        super().__init__(venv)
+        self.skip = skip
+        if skip:
+            return
+        sp = venv.observation_space
+        if isinstance(sp, dict):
+            self.image_space_keys = [k for k, s in sp.items()
+                                     if is_image_space(s)]
+            self.observation_space = {
+                k: (self._transpose_space(s) if k in self.image_space_keys
+                    else s)
+                for k, s in sp.items()}
+        else:
+            if not is_image_space(sp):
+                raise ValueError(
+                    "VecTransposeImage needs an image (3-D Box) or dict "
+                    f"observation space, got shape {sp.shape}")
+            self.image_space_keys = None
+            self.observation_space = self._transpose_space(sp)
+
+    @staticmethod
+    def _transpose_space(space):
+        from .adapter import Box
+
+        return Box(np.transpose(space.low, (2, 0, 1)),
+                   np.transpose(space.high, (2, 0, 1)))
+
+    @staticmethod
+    def transpose_image(image: np.ndarray) -> np.ndarray:
+        """(H,W,C)->(C,H,W) or batched (N,H,W,C)->(N,C,H,W)
+        (vec_transpose.py:60-70)."""
+        if image.ndim == 3:
+            return np.transpose(image, (2, 0, 1))
+        return np.transpose(image, (0, 3, 1, 2))
+
+    def _transpose_obs(self, obs):
+        if self.skip:
+            return obs
+        if self.image_space_keys is not None:
+            return {k: (self.transpose_image(v)
+                        if k in self.image_space_keys else v)
+                    for k, v in obs.items()}
+        return self.transpose_image(obs)
+
+    def reset(self):
+        return self._transpose_obs(self.venv.reset())
+
+    def step(self, actions):
+        obs, rewards, dones, infos = self.venv.step(actions)
+        for i, info in enumerate(infos):
+            if "terminal_observation" in info:
+                infos[i] = dict(info)
+                infos[i]["terminal_observation"] = self._transpose_obs(
+                    info["terminal_observation"])
+        return self._transpose_obs(obs), rewards, dones, infos
+
+
+class VecFrameStack(VecEnvWrapper):
+    """Stack the last n observations (StackedObservations role,
+    stacked_observations.py:16-130): flat Boxes stack along the feature
+    axis; image Boxes stack along the CHANNEL axis, first or last
+    depending on the layout (channels_order auto-detection via the
+    smallest-axis heuristic, :59-80)."""
+
+    def __init__(self, venv, n_stack: int = 4, channels_order: str = None):
         super().__init__(venv)
         self.n_stack = n_stack
-        dim = venv.observation_space.shape[0]
-        self.stacked = np.zeros((self.num_envs, n_stack * dim), np.float32)
-        low = np.tile(venv.observation_space.low, n_stack)
-        high = np.tile(venv.observation_space.high, n_stack)
+        sp = venv.observation_space
+        if channels_order is None:
+            channels_first = (is_image_space(sp)
+                              and is_image_space_channels_first(sp))
+        else:
+            channels_first = channels_order == "first"
+        # batched arrays carry a leading env axis -> +1 on the stack axis
+        self.stack_axis = 1 if channels_first else -1
+        repeat_axis = 0 if channels_first else -1
+        low = np.repeat(sp.low, n_stack, axis=repeat_axis)
+        high = np.repeat(sp.high, n_stack, axis=repeat_axis)
+        self.stacked = np.zeros((self.num_envs,) + low.shape, np.float32)
+        self._unit = sp.shape[0 if channels_first else -1]
         from .adapter import Box
 
         self.observation_space = Box(low, high)
 
     def _push(self, obs):
-        dim = obs.shape[-1]
-        self.stacked = np.roll(self.stacked, -dim, axis=-1)
-        self.stacked[:, -dim:] = obs
+        n = self._unit
+        self.stacked = np.roll(self.stacked, -n, axis=self.stack_axis)
+        if self.stack_axis == 1:
+            self.stacked[:, -n:] = obs
+        else:
+            self.stacked[..., -n:] = obs
         return self.stacked.copy()
 
     def reset(self):

@@ -197,3 +197,97 @@ def test_off_policy_load_syncs_device_counter(tmp_path):
     assert int(m2._state.num_ts) == 32  # no re-warmup on continue-training
     m2.learn(total_timesteps=8, reset_num_timesteps=False)
     assert int(m2._state.n_updates) > 0  # trained immediately, no warmup gate
+
+
+# -- image periphery (vec_transpose.py + image-aware stacking) ---------------
+class _ImageVecEnv:
+    """Synthetic (H,W,C) image VecEnv — the reference ships VecTranspose /
+    image stacking but never constructs them on the docking tasks either
+    (no env emits images); a stub exercises the wrapper exactly as SB3's
+    own tests do."""
+
+    def __init__(self, n_envs=2, shape=(8, 6, 3)):
+        from gym_dockauv_tpu.envs.adapter import Box
+
+        self.num_envs = n_envs
+        self.shape = shape
+        self.observation_space = Box(np.zeros(shape, np.float32),
+                                     np.ones(shape, np.float32))
+        self.action_space = Box(-np.ones(2, np.float32),
+                                np.ones(2, np.float32))
+        self.t = 0
+
+    def _obs(self):
+        base = np.arange(np.prod(self.shape), dtype=np.float32).reshape(
+            self.shape) + self.t
+        return np.stack([base + i for i in range(self.num_envs)])
+
+    def reset(self):
+        self.t = 0
+        return self._obs()
+
+    def step(self, actions):
+        self.t += 1
+        infos = [{} for _ in range(self.num_envs)]
+        if self.t == 3:  # exercise terminal_observation pass-through
+            infos[0]["terminal_observation"] = self._obs()[0]
+        return (self._obs(), np.zeros(self.num_envs, np.float32),
+                np.zeros(self.num_envs, bool), infos)
+
+    def close(self):
+        pass
+
+
+def test_vec_transpose_image():
+    from gym_dockauv_tpu.envs.wrappers import VecTransposeImage
+
+    env = VecTransposeImage(_ImageVecEnv())
+    assert env.observation_space.shape == (3, 8, 6)
+    obs = env.reset()
+    assert obs.shape == (2, 3, 8, 6)
+    raw = env.venv._obs()
+    np.testing.assert_array_equal(obs, np.transpose(raw, (0, 3, 1, 2)))
+    for _ in range(3):
+        obs, _, _, infos = env.step(np.zeros((2, 2), np.float32))
+    # terminal_observation transposed too (vec_transpose.py:84-95)
+    assert infos[0]["terminal_observation"].shape == (3, 8, 6)
+
+
+def test_vec_transpose_dict_and_skip():
+    from gym_dockauv_tpu.envs.adapter import Box
+    from gym_dockauv_tpu.envs.wrappers import VecTransposeImage
+
+    base = _ImageVecEnv()
+    base.observation_space = {
+        "img": base.observation_space,
+        "vec": Box(-np.ones(4, np.float32), np.ones(4, np.float32))}
+    base_obs = base._obs()
+    base.reset = lambda: {"img": base_obs, "vec": np.zeros((2, 4))}
+    env = VecTransposeImage(base)
+    obs = env.reset()
+    assert obs["img"].shape == (2, 3, 8, 6)
+    assert obs["vec"].shape == (2, 4)  # non-image leaves untouched
+    assert env.observation_space["img"].shape == (3, 8, 6)
+    skipped = VecTransposeImage(_ImageVecEnv(), skip=True)
+    assert skipped.reset().shape == (2, 8, 6, 3)  # GH#671 skip semantics
+
+
+def test_vec_frame_stack_image_channels():
+    """Image obs stack along the channel axis, not the flat feature axis
+    (stacked_observations.py:59-80)."""
+    from gym_dockauv_tpu.envs.wrappers import (VecFrameStack,
+                                               VecTransposeImage)
+
+    # channels-last (H,W,C): stack on the last axis
+    env = VecFrameStack(_ImageVecEnv(), n_stack=2)
+    obs = env.reset()
+    assert obs.shape == (2, 8, 6, 6)
+    assert env.observation_space.shape == (8, 6, 6)
+    np.testing.assert_allclose(obs[..., :3], 0.0)  # zero history
+    # channels-first after transpose: stack on the channel axis
+    env_cf = VecFrameStack(VecTransposeImage(_ImageVecEnv()), n_stack=2)
+    obs = env_cf.reset()
+    assert obs.shape == (2, 6, 8, 6)
+    assert env_cf.observation_space.shape == (6, 8, 6)
+    obs2, _, _, _ = env_cf.step(np.zeros((2, 2), np.float32))
+    np.testing.assert_array_equal(obs2[:, :3], obs[:, 3:])  # rolled
