@@ -461,7 +461,7 @@ def report():
 
     def table(sel, det_col=False):
         lines = ["| algo | env | impl | seeds | final reward (trail-100) |"
-                 " final success" + (" | det-eval success (1024 eps)"
+                 " final success" + (" | det-eval success per seed (1024 eps)"
                                      if det_col else "")
                  + " | episodes | wall s |",
                  "|---|---|---|---|---|---|---|---|"
@@ -474,7 +474,7 @@ def report():
                 group = [r for r in sel if r["impl"] == impl
                          and r["algo"] == algo and r["kind"] == kind]
                 finals_r, finals_s, dets = [], [], []
-                for r in group:
+                for r in sorted(group, key=lambda r: r["seed"]):
                     sm = _smooth(r["episodes"])
                     if len(sm):
                         finals_r.append(sm[-1, 1])
@@ -482,8 +482,8 @@ def report():
                     de = r.get("det_eval")
                     if de:
                         dets.append(de["success"])
-                det_s = (f" {np.mean(dets):.3f} |" if dets else " — |") \
-                    if det_col else ""
+                det_s = ((" " + "/".join(f"{d:.2f}" for d in dets) + " |")
+                         if dets else " — |") if det_col else ""
                 lines.append(
                     f"| {algo} | {kind} | {impl} | "
                     f"{sorted(r['seed'] for r in group)} | "
