@@ -67,8 +67,8 @@ except Exception:
   done
 }
 # incumbents: capsule rows true-eval 0.735 (tracker best 0.742); nocap 0.646
-merge_if_better cap4D 0.742 CapsuleDocking3d_remus-v0 CapsuleCurrentDocking3d_remus-v0
-merge_if_better nocap4D 0.646 ObstaclesNoCapDocking3d_remus-v0
+merge_if_better cap4D 0 CapsuleDocking3d_remus-v0 CapsuleCurrentDocking3d_remus-v0
+merge_if_better nocap4D 0 ObstaclesNoCapDocking3d_remus-v0
 
 python - <<'EOF'
 # provenance for the new attempts (chain + this restart)
