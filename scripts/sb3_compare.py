@@ -349,11 +349,20 @@ def run_ours(algo, kind, steps, seed, platform="cpu", n_envs=1,
 
     class Collector:
         n = 0
+        last_print = 0
 
         def init_callback(self, algo_):
             pass
 
         def on_step(self, algo_):
+            # periodic progress line: long flagship-scale runs are
+            # otherwise silent and the tpu_watchdog's no-log-growth
+            # heuristic would kill them mid-flight
+            if algo_.num_timesteps - self.last_print >= 200_000:
+                self.last_print = algo_.num_timesteps
+                print(f"[ours {algo} {kind} s{seed}] "
+                      f"{algo_.num_timesteps} steps, "
+                      f"{len(episodes)} eps", flush=True)
             buf = algo_.ep_info_buffer
             while self.n < len(buf):
                 e = buf[self.n]
