@@ -568,14 +568,16 @@ def report():
                 f" ({ch['recipe']}, {ch['total_steps'] / 1e9:.2f}B BPTT"
                 " env-steps of differentiable-sim training).",
                 "",
-                "Every reference-SB3 run above sits at **0.000 trailing"
-                " success** — model-free SB3 at the reference's own recipe"
-                " never lifts off on this scenario at these budgets, while"
-                " our analytic-gradient machinery (unavailable to a"
-                " torch+numpy stack: it differentiates through the"
-                " vehicle dynamics) holds the matrix-row score on the"
-                " true config.  The matched-ceiling claim in BASELINE.md"
-                " rests on this table.",
+                "Every model-free run above — reference SB3 AND our own"
+                " PPO/SAC at the identical recipe — sits at **0.000**"
+                " success: the scenario is beyond model-free RL at these"
+                " budgets in either framework (symmetric"
+                " parity-of-failure), while our analytic-gradient"
+                " machinery (unavailable to a torch+numpy stack: it"
+                " differentiates through the vehicle dynamics) holds the"
+                " matrix-row score on the true config.  The"
+                " matched-ceiling claim in BASELINE.md rests on this"
+                " table.",
             ]
         lines += [""]
 
