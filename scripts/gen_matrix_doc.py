@@ -77,9 +77,11 @@ def main() -> None:
         "spawn-window; `apg-gru-*` = differentiable-sim analytic policy",
         "gradient with a GRU-64 policy (scripts/remus_apg.py — machinery",
         "beyond anything in the reference).  The REMUS rows are the hard",
-        "half: the vendored reference SB3 SAC scores **0.000** success after",
-        "2M steps (2 seeds) on the flagship ObstaclesCurrentDocking3d_remus",
-        "scenario (docs/sb3/sb3_sac_ObstaclesCurrentRemus_s*.json).",
+        "half: at the reference's own recipe (5M steps, 16 envs, TEST",
+        "hypers) reference-SB3 PPO and SAC — and our own PPO/SAC at the",
+        "identical recipe — all score **0.000** deterministic success on",
+        "the flagship ObstaclesCurrentDocking3d_remus scenario",
+        "(docs/sb3_comparison.md \"Flagship bound\").",
         "",
         "| env | algo | recipe | success [Wilson 95%] | collision | eval eps"
         " | train steps | attempts |",

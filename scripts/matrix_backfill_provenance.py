@@ -35,6 +35,23 @@ PHASE_CHAINS = {
     ("ObstaclesDocking3d_remus-v0", "apg-gru-backport"):
         ["r4obsA", "r4obsB", "r4obsC"],
 }
+EXTRA = {
+    ("ObstaclesNoCapDocking3d_remus-v0", "apg-gru-nocap5E"):
+        {"total_steps": 652_800_000 + 15_000 * 128 * 300
+         + 15_000 * 128 * 400,
+         "wall_s": 1709.0 + 1000.0 + 3011.0,
+         "provenance_note": "r4nocap chain + nocap4D + nocap5E restarts"},
+    ("CapsuleDocking3d_remus-v0", "apg-gru-cap5E"):
+        {"total_steps": 864_000_000 + 15_000 * 128 * 300
+         + 15_000 * 128 * 400,
+         "wall_s": 1291.0 + 1000.0 + 2178.0,
+         "provenance_note": "r4cap3 chain + cap4D + cap5E restarts"},
+    ("CapsuleCurrentDocking3d_remus-v0", "apg-gru-cap5E"):
+        {"total_steps": 864_000_000 + 15_000 * 128 * 300
+         + 15_000 * 128 * 400,
+         "wall_s": 1291.0 + 1000.0 + 2178.0,
+         "provenance_note": "r4cap3 chain + cap4D + cap5E restarts"},
+}
 # docs/performance.md: phases A(3k)+B(8k)+C(30k)+E(30k), batch 128,
 # horizon 300, ~3.5 h wall on one chip including tunnel stalls.
 FLAGSHIP = {"total_steps": 71_000 * 128 * 300, "wall_s": 12600.0,
@@ -78,6 +95,8 @@ def main():
     for env in ("ObstaclesDocking3d_remus-v0",
                 "ObstaclesCurrentDocking3d_remus-v0"):
         rows.setdefault(env, {})["apg-gru-phasesplit"] = FLAGSHIP
+    for (env, recipe), prov in EXTRA.items():
+        rows.setdefault(env, {})[recipe] = prov
 
     for env, by_recipe in sorted(rows.items()):
         path = f"logs/matrix/{env}.json"
