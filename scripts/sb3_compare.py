@@ -529,7 +529,26 @@ def report():
                   " hyper-parameters)", ""]
         lines += table(recipe, det_col=True)
         png = curves_png(recipe, "sb3_comparison_recipe.png")
-        lines += ["", "![recipe curves](sb3_comparison_recipe.png)", ""]
+        lines += [
+            "", "![recipe curves](sb3_comparison_recipe.png)", "",
+            "### Findings (full-recipe tier)", "",
+            "- **Simple**: SAC reaches det-eval 1.00 on every seed in both"
+            " frameworks.  PPO shows the same *deterministic gap* on both"
+            " sides — trailing stochastic success ~1.0 while the"
+            " deterministic mean scores 0.4-1.0 (ours) / ~0.83 (sb3):"
+            " at ent_coef=0 the Gaussian dither is load-bearing.",
+            "- **Capsule**: SAC is bimodal at this recipe in BOTH"
+            " frameworks — seeds either lift off toward ~0.7 det or stay"
+            " near 0 (see the per-seed column; ours spans 0.00-0.76, the"
+            " reference's draw landed 0.72).  PPO fails on all seeds on"
+            " both sides.  The scenario needs curriculum training either"
+            " way (docs/scenario_matrix.md reaches 0.93 with it).",
+            "- **Obstacles**: both frameworks' PPO and SAC fail at this"
+            " recipe on every seed (det <=0.05) — matching failure modes;"
+            " the matrix rows crack it with curricula.",
+            "- **SimpleRemus** (full nonlinear REMUS dynamics): our SAC"
+            " at the reference recipe reaches det 0.98 at 2M steps.",
+            ""]
 
     if flagship:
         lines += [
